@@ -1,0 +1,126 @@
+"""Static configuration for the TPU-native MPC engine.
+
+The reference (rtarun1/kiss-mpc) spreads configuration across constructor
+defaults (`mpc/agent.py:99-106`), hardcoded cost weights
+(`mpc/optimizer.py:57-60`), hardcoded IPOPT options (`mpc/optimizer.py:344-352`)
+and deployment overrides in the ROS node (`ros2interface.py:28-38`).  Here the
+whole surface is one frozen dataclass that is a static (hashable) argument to
+`jax.jit`, so a config change recompiles and everything else is runtime data.
+
+Two semantic switches capture places where the reference code differs from its
+README (SURVEY.md section 2.4):
+
+* ``goal_cost_mode``: the reference sums goal-tracking cost over states
+  1..N-1 only (slice ``[:, 1:-1]``, `mpc/optimizer.py:80`) while the README
+  sums 1..N.  ``"full"`` = README semantics (default), ``"exclude_terminal"``
+  reproduces the committed code.
+* ``reverse_penalty_mode``: the reference's negative-velocity cost is linear
+  (``300 * sum(min(v, 0))``, `mpc/optimizer.py:91-96`) which *rewards*
+  reversing; the README specifies squared.  ``"squared"`` (default) is the
+  intended formulation, ``"linear"`` the committed one.
+* ``bound_y``: the reference applies state box bounds to the x row only
+  (`mpc/optimizer.py:114-115`); the README bounds x and y.  Default True
+  (README semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal, Tuple
+
+GoalCostMode = Literal["full", "exclude_terminal"]
+ReversePenaltyMode = Literal["squared", "linear"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CostConfig:
+    """Cost weights.  Defaults follow `mpc/optimizer.py:57-60`."""
+
+    goal_weights: Tuple[float, float, float] = (100.0, 100.0, 50.0)
+    negative_velocity_weight: float = 300.0
+    angular_velocity_weight: float = 10.0
+    # The reference carries a commented-out positive-linear-velocity cost
+    # (`mpc/optimizer.py:85-89`); exposed here, off by default.
+    positive_velocity_weight: float = 0.0
+    goal_cost_mode: GoalCostMode = "full"
+    reverse_penalty_mode: ReversePenaltyMode = "squared"
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Interior-point SQP settings.
+
+    The solver runs a fixed number of outer iterations (jit-friendly; no
+    data-dependent control flow) with a geometric barrier schedule, mirroring
+    the role IPOPT plays in the reference (`mpc/optimizer.py:344-354`) but as
+    one compiled function instead of a per-tick rebuilt NLP object.
+    """
+
+    iterations: int = 40
+    # Barrier parameter: adaptive, mu_j = clip(sigma * mean(s * nu), mu_min,
+    # mu_init) — the classic centering rule, which self-paces against the
+    # central path (a fixed geometric schedule outruns it and the
+    # fraction-to-boundary rule then throttles steps to ~0).
+    mu_init: float = 1.0
+    mu_sigma: float = 0.2
+    mu_min: float = 1e-9
+    # Fraction-to-boundary rule coefficient for slack/dual steps.
+    tau: float = 0.995
+    # Backtracking line search: alpha in {1, ls_backtrack, ls_backtrack^2, ...}
+    ls_iters: int = 8
+    ls_backtrack: float = 0.5
+    # l1 merit penalty weight for equality (dynamics + slack consistency)
+    # residuals.
+    merit_penalty: float = 1e3
+    # Levenberg-style Hessian regularization added to Quu / Qxx diagonals.
+    reg: float = 1e-8
+    # Safeguard: minimum slack / constraint distance used in divisions.
+    slack_floor: float = 1e-12
+    # Include the exact curvature term of the obstacle distance constraint
+    # ((I - n n^T)/dist weighted by the constraint dual) in the stage Hessian.
+    obstacle_curvature: bool = True
+    # KKT tolerance used only to *report* convergence (never for control flow).
+    kkt_tol: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Full static problem + solver description.
+
+    Shapes derived from this config are static under jit: horizon ``N``
+    (`mpc/agent.py:100` default 50), max obstacle count ``max_obstacles``
+    (the reference passes a dynamic python list, `mpc/optimizer.py:198`;
+    TPU-native we pad to a fixed K and mask, mirroring the sensor-radius
+    filter of `mpc/environment.py:48-65` as a top-K selection).
+    """
+
+    horizon: int = 50
+    time_step: float = 0.041
+    max_obstacles: int = 0
+    cost: CostConfig = dataclasses.field(default_factory=CostConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    bound_y: bool = True
+
+    @property
+    def num_states(self) -> int:
+        return 3
+
+    @property
+    def num_controls(self) -> int:
+        return 2
+
+    def replace(self, **kw) -> "MPCConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Deployment preset used by the reference ROS node (`ros2interface.py:28-38`).
+ROS_DEPLOYMENT = MPCConfig(
+    horizon=7,
+    time_step=0.8,
+)
+
+# Research preset matching `EgoAgent` defaults (`mpc/agent.py:99-106`).
+RESEARCH = MPCConfig(
+    horizon=50,
+    time_step=0.041,
+)

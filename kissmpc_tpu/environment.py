@@ -1,0 +1,125 @@
+"""Waypoint-following episode loop — functional rebuild of `mpc/environment.py`.
+
+The reference `ROSEnvironment` sequences waypoints, filters obstacles by
+sensor radius, steps the agent and advances the goal when reached
+(`mpc/environment.py:39-80`).  Here the whole loop is a pure transition on an
+`EnvState` pytree so a full episode is one `lax.scan` (jit-able, vmappable
+across thousands of scenarios — config 5 of BASELINE.md), instead of a Python
+while-loop around a per-tick NLP rebuild.
+
+Waypoints are a fixed [W, 3] array with the index clamped at the final row —
+the reference's `current_waypoint` returns None past the end
+(`mpc/environment.py:23-29`) and `update_goal(None)` falls back to the initial
+state (`mpc/agent.py:67-68`); with a clamped index the goal simply stays the
+final waypoint, which is the intended behavior of the episode loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import agent as agent_mod
+from .agent import AgentParams, AgentState
+from .config import MPCConfig
+from .obstacles import ObstacleSet, empty
+from .solver.problem import Diagnostics
+
+
+class EnvState(NamedTuple):
+    agent: AgentState
+    waypoint_index: jax.Array  # int32 scalar
+    waypoints: jax.Array  # [W, 3]
+
+
+class StepInfo(NamedTuple):
+    diagnostics: Diagnostics
+    at_goal: jax.Array  # bool: reached current waypoint this tick
+    final_goal_reached: jax.Array  # bool (`mpc/environment.py:31-33`)
+    waypoint_index: jax.Array
+
+
+def init_env(
+    cfg: MPCConfig,
+    initial_state,
+    waypoints,
+    dtype=jnp.float32,
+) -> EnvState:
+    waypoints = jnp.asarray(waypoints, dtype).reshape(-1, 3)
+    agent = agent_mod.init_agent(
+        cfg, initial_state, goal_state=waypoints[0], dtype=dtype
+    )
+    return EnvState(
+        agent=agent,
+        waypoint_index=jnp.zeros((), jnp.int32),
+        waypoints=waypoints,
+    )
+
+
+def current_waypoint(env: EnvState) -> jax.Array:
+    idx = jnp.clip(env.waypoint_index, 0, env.waypoints.shape[0] - 1)
+    return env.waypoints[idx]
+
+
+def final_goal_reached(params: AgentParams, env: EnvState) -> jax.Array:
+    is_last = env.waypoint_index >= env.waypoints.shape[0] - 1
+    return is_last & agent_mod.at_goal(params, env.agent)
+
+
+def step(
+    cfg: MPCConfig,
+    params: AgentParams,
+    env: EnvState,
+    obstacles: Optional[ObstacleSet] = None,
+) -> Tuple[EnvState, StepInfo]:
+    """One environment tick (`mpc/environment.py:39-80`).
+
+    The sensor-radius filter lives inside the agent's problem construction
+    (top-K masked selection replacing the python sort-filter of
+    `mpc/environment.py:48-65`).  Waypoint advance: if the agent reached the
+    current waypoint and it is not the last, move to the next and re-goal
+    (`mpc/environment.py:77-80`).
+    """
+    if obstacles is None:
+        obstacles = empty(cfg.max_obstacles, env.agent.states_matrix.dtype)
+
+    new_agent, diag = agent_mod.step(cfg, params, env.agent, obstacles)
+
+    reached = agent_mod.at_goal(params, new_agent)
+    is_last = env.waypoint_index >= env.waypoints.shape[0] - 1
+    advance = reached & ~is_last
+    new_index = env.waypoint_index + advance.astype(jnp.int32)
+    new_env = EnvState(
+        agent=new_agent._replace(
+            goal_state=env.waypoints[
+                jnp.clip(new_index, 0, env.waypoints.shape[0] - 1)
+            ]
+        ),
+        waypoint_index=new_index,
+        waypoints=env.waypoints,
+    )
+    info = StepInfo(
+        diagnostics=diag,
+        at_goal=reached,
+        final_goal_reached=reached & is_last,
+        waypoint_index=new_index,
+    )
+    return new_env, info
+
+
+def run_episode(
+    cfg: MPCConfig,
+    params: AgentParams,
+    env: EnvState,
+    num_steps: int,
+    obstacles: Optional[ObstacleSet] = None,
+) -> Tuple[EnvState, StepInfo]:
+    """Roll a fixed-length episode with `lax.scan` (stacked StepInfo out)."""
+
+    def body(carry, _):
+        new_env, info = step(cfg, params, carry, obstacles)
+        return new_env, info
+
+    return jax.lax.scan(body, env, None, length=num_steps)

@@ -1,0 +1,38 @@
+"""Public solve API: jitted single / batched / sharded solvers.
+
+The reference's entry point is `MotionPlanner.solve(...)`
+(`mpc/optimizer.py:319-333`) which rebuilds the NLP per call.  Here
+`make_solver(cfg)` returns a compiled function closed over the static config;
+`make_batch_solver` vmaps it over a leading scenario axis; mesh sharding lives
+in `kissmpc_tpu.parallel.fleet`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from ..config import MPCConfig
+from . import ipm
+from .problem import Problem, Solution
+
+
+def make_solver(cfg: MPCConfig):
+    """Compiled single-scenario solver: Problem -> Solution."""
+
+    @jax.jit
+    def _solve(problem: Problem) -> Solution:
+        return ipm.solve(cfg, problem)
+
+    return _solve
+
+
+def make_batch_solver(cfg: MPCConfig):
+    """Compiled batched solver: Problem with leading axis [B] -> Solution [B]."""
+
+    @jax.jit
+    def _solve(problems: Problem) -> Solution:
+        return jax.vmap(functools.partial(ipm.solve, cfg))(problems)
+
+    return _solve

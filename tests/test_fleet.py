@@ -1,0 +1,90 @@
+"""Sharded fleet solve on the 8-virtual-device CPU mesh.
+
+The distributed analogue of the reference's multi-process ROS graph
+(SURVEY.md section 5.8): scenario batch sharded over a mesh, metrics reduced
+with collectives.  Exercises the same code path the driver's
+``dryrun_multichip`` validates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kissmpc_tpu import MPCConfig, default_problem
+from kissmpc_tpu.parallel.fleet import (
+    make_fleet_solver,
+    make_mesh,
+    shard_problems,
+)
+from kissmpc_tpu.solver.api import make_batch_solver
+
+
+def _problems(cfg, batch, dtype=jnp.float64, seed=0):
+    rng = np.random.default_rng(seed)
+    starts = np.concatenate(
+        [rng.uniform(-2, 2, (batch, 2)), rng.uniform(-3, 3, (batch, 1))], axis=1
+    )
+    goals = np.concatenate(
+        [rng.uniform(-2, 2, (batch, 2)), rng.uniform(-3, 3, (batch, 1))], axis=1
+    )
+    return jax.vmap(lambda s, g: default_problem(cfg, s, g, dtype=dtype))(
+        jnp.asarray(starts, dtype), jnp.asarray(goals, dtype)
+    )
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_fleet_solve_matches_unsharded():
+    cfg = MPCConfig(horizon=10, time_step=0.1)
+    mesh = make_mesh()
+    batch = 16
+    problems = _problems(cfg, batch)
+    sharded = shard_problems(problems, mesh)
+
+    fleet = make_fleet_solver(cfg, mesh)
+    sol_sharded, metrics = fleet(sharded)
+
+    sol_ref = make_batch_solver(cfg)(problems)
+
+    np.testing.assert_allclose(
+        np.asarray(sol_sharded.controls), np.asarray(sol_ref.controls), atol=1e-10
+    )
+    conv_ref = float(jnp.mean(sol_ref.diagnostics.converged.astype(jnp.float32)))
+    assert abs(float(metrics.converged_fraction) - conv_ref) < 1e-6
+    assert float(metrics.converged_fraction) > 0.9
+
+
+def test_fleet_solution_stays_sharded():
+    cfg = MPCConfig(horizon=8, time_step=0.1)
+    mesh = make_mesh()
+    problems = shard_problems(_problems(cfg, 8), mesh)
+    fleet = make_fleet_solver(cfg, mesh)
+    sol, _ = fleet(problems)
+    # One shard of the batch per device — no implicit all-gather of solutions.
+    sharding = sol.controls.sharding
+    assert sharding.num_devices == 8
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    sol = jax.jit(fn)(*args)
+    jax.block_until_ready(sol)
+    assert sol.controls.shape[0] == 8

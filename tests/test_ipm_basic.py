@@ -1,0 +1,102 @@
+"""IPM solver smoke tests: KKT convergence and qualitative behavior.
+
+Config 1 of BASELINE.md: single point-to-goal unicycle solve, N=20, no
+obstacles.  The parity harness against an independent NLP oracle lives in
+test_oracle_parity.py; here we assert internal KKT conditions and physics.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from kissmpc_tpu import MPCConfig, default_problem, make_solver
+
+
+def _cfg(horizon=20, **kw):
+    return MPCConfig(horizon=horizon, time_step=0.1, **kw)
+
+
+def test_point_to_goal_converges():
+    cfg = _cfg()
+    solver = make_solver(cfg)
+    problem = default_problem(
+        cfg,
+        initial_state=jnp.array([0.0, 0.0, 0.0]),
+        goal_state=jnp.array([1.0, 0.5, 0.0]),
+        dtype=jnp.float64,
+    )
+    sol = solver(problem)
+    d = sol.diagnostics
+    assert bool(d.converged), (
+        f"stat={float(d.kkt_stationarity):.2e} "
+        f"feas={float(d.kkt_feasibility):.2e} "
+        f"comp={float(d.kkt_complementarity):.2e}"
+    )
+    # The plan must head toward the goal and respect control bounds.
+    assert float(sol.states[-1, 0]) > 0.4
+    v = np.asarray(sol.controls[:, 0])
+    w = np.asarray(sol.controls[:, 1])
+    assert np.all(v <= 0.5 + 1e-6) and np.all(v >= -0.2 - 1e-6)
+    assert np.all(np.abs(w) <= 0.5 + 1e-6)
+
+
+def test_goal_behind_does_not_reverse_much():
+    # With the squared reverse penalty (README semantics) the robot should
+    # prefer turning over reversing at speed.
+    cfg = _cfg()
+    solver = make_solver(cfg)
+    problem = default_problem(
+        cfg,
+        initial_state=jnp.array([0.0, 0.0, 0.0]),
+        goal_state=jnp.array([-1.0, 0.0, jnp.pi]),
+        dtype=jnp.float64,
+    )
+    sol = solver(problem)
+    assert bool(sol.diagnostics.converged)
+    v = np.asarray(sol.controls[:, 0])
+    assert np.all(v >= -0.2 - 1e-6)
+
+
+def test_already_at_goal_stays():
+    cfg = _cfg()
+    solver = make_solver(cfg)
+    start = jnp.array([0.3, -0.2, 0.7])
+    problem = default_problem(cfg, start, start, dtype=jnp.float64)
+    sol = solver(problem)
+    assert bool(sol.diagnostics.converged)
+    np.testing.assert_allclose(np.asarray(sol.controls), 0.0, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sol.states), np.tile(np.asarray(start), (cfg.horizon + 1, 1)),
+        atol=1e-4,
+    )
+
+
+def test_dynamics_feasible_at_solution():
+    cfg = _cfg()
+    solver = make_solver(cfg)
+    problem = default_problem(
+        cfg, jnp.array([0.0, 0.0, 1.2]), jnp.array([0.8, -0.6, 0.0]),
+        dtype=jnp.float64,
+    )
+    sol = solver(problem)
+    from kissmpc_tpu.models import unicycle
+
+    d = unicycle.defects(sol.states, sol.controls, cfg.time_step)
+    assert float(jnp.max(jnp.abs(d))) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(sol.states[0]), np.asarray(problem.initial_state), atol=1e-6
+    )
+
+
+def test_active_velocity_bound():
+    # Far goal straight ahead: optimal plan should ride the v <= 0.5 bound.
+    cfg = _cfg(horizon=30)
+    solver = make_solver(cfg)
+    problem = default_problem(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([50.0, 0.0, 0.0]),
+        dtype=jnp.float64,
+    )
+    sol = solver(problem)
+    assert bool(sol.diagnostics.converged)
+    v = np.asarray(sol.controls[:, 0])
+    assert np.all(v <= 0.5 + 1e-7)
+    assert np.max(v) > 0.5 - 1e-3

@@ -1,0 +1,252 @@
+"""Obstacle model + obstacle-constrained solves (configs 3-4 of BASELINE.md).
+
+Covers: repaired distance semantics, constant-velocity prediction, top-K
+sensor filtering, static/dynamic obstacle avoidance with oracle parity, and
+per-timestep dynamic tracks (the intended semantics of
+`obstacle_handling/dynamic_obstacle.py:47-56`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kissmpc_tpu import (
+    MPCConfig,
+    default_problem,
+    make_solver,
+    problem_with_obstacles,
+)
+from kissmpc_tpu.obstacles import (
+    ObstacleSet,
+    concatenate,
+    distance_to_point,
+    dynamic_set,
+    predict_tracks,
+    select_nearest,
+    static_set,
+)
+
+from .oracle import solve_oracle
+
+PARITY_TOL = 1e-3
+
+
+def test_distance_repaired_semantics():
+    obs = static_set([[3.0, 4.0]], [1.0], dtype=jnp.float64)
+    # |p - c| - r, not |(p - c) - r| (reference bug 2.4-4).
+    d = distance_to_point(obs, jnp.array([0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(d), [4.0], atol=1e-12)
+
+
+def test_predict_tracks_constant_velocity():
+    # Reference human: v=1.0, heading 90deg, dt=0.1
+    # (`obstacle_handling/dynamic_obstacle.py:8-9,21`): moves +y by 0.1/step.
+    obs = dynamic_set(
+        [[1.0, 2.0]], orientations=np.deg2rad(90.0), linear_velocities=1.0,
+        dtype=jnp.float64,
+    )
+    tracks = predict_tracks(obs, horizon=4, dt=0.1)
+    expected = np.array(
+        [[[1.0, 2.0], [1.0, 2.1], [1.0, 2.2], [1.0, 2.3]]]
+    )
+    np.testing.assert_allclose(np.asarray(tracks), expected, atol=1e-12)
+
+
+def test_predict_tracks_turning():
+    obs = dynamic_set(
+        [[0.0, 0.0]], orientations=0.0, linear_velocities=1.0,
+        angular_velocities=0.5, dtype=jnp.float64,
+    )
+    tracks = np.asarray(predict_tracks(obs, horizon=3, dt=0.1))
+    # manual rollout
+    p, th = np.zeros(2), 0.0
+    expect = []
+    for _ in range(3):
+        expect.append(p.copy())
+        p = p + np.array([np.cos(th), np.sin(th)]) * 0.1
+        th += 0.05
+    np.testing.assert_allclose(tracks[0], np.stack(expect), atol=1e-12)
+
+
+def test_select_nearest_topk_and_radius():
+    centers = np.array([[1.0, 0.0], [3.0, 0.0], [10.0, 0.0], [2.0, 0.0]])
+    obs = static_set(centers, np.full(4, 0.5), dtype=jnp.float64)
+    sel = select_nearest(obs, jnp.array([0.0, 0.0]), sensor_radius=5.0, k=3)
+    # nearest three: x = 1, 2, 3; the x=10 one is both beyond k and radius
+    pos = np.asarray(sel.position)[np.asarray(sel.active) > 0.5]
+    assert sorted(pos[:, 0].tolist()) == [1.0, 2.0, 3.0]
+
+
+def test_select_nearest_masks_beyond_radius():
+    centers = np.array([[1.0, 0.0], [30.0, 0.0]])
+    obs = static_set(centers, np.full(2, 0.5), dtype=jnp.float64)
+    sel = select_nearest(obs, jnp.array([0.0, 0.0]), sensor_radius=5.0, k=2)
+    active = np.asarray(sel.active)
+    assert active.sum() == 1.0
+
+
+def test_config3_static_obstacle_parity():
+    # Config 3: static circular obstacle directly on the path to the goal.
+    cfg = MPCConfig(horizon=20, time_step=0.1, max_obstacles=2)
+    obs = static_set(
+        [[0.8, 0.05], [2.5, 2.5]], [0.25, 0.3], max_obstacles=2,
+        dtype=jnp.float64,
+    )
+    inflation = 0.3 + 0.1  # robot radius + 0.1 (`mpc/agent.py:149`)
+    problem = problem_with_obstacles(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.6, 0.1, 0.0]), obs,
+        inflation_radius=inflation, dtype=jnp.float64,
+    )
+    solver = make_solver(cfg)
+    sol = solver(problem)
+    assert bool(sol.diagnostics.converged)
+
+    # trajectory must clear the obstacle by the inflation margin
+    p = np.asarray(sol.states[1:, :2])
+    d = np.linalg.norm(p - np.array([0.8, 0.05]), axis=1) - 0.25
+    assert np.min(d) >= inflation - 1e-6
+
+    X, U_oracle, res = solve_oracle(
+        horizon=cfg.horizon,
+        time_step=cfg.time_step,
+        initial_state=[0.0, 0.0, 0.0],
+        goal_state=[1.6, 0.1, 0.0],
+        control_lower=np.asarray(problem.control_lower),
+        control_upper=np.asarray(problem.control_upper),
+        state_lower=np.asarray(problem.state_lower),
+        state_upper=np.asarray(problem.state_upper),
+        obstacle_centers=np.asarray(problem.obstacle_centers),
+        obstacle_radii=np.asarray(problem.obstacle_radii),
+        inflation_radius=inflation,
+    )
+    assert res.status in (1, 2)
+    err = np.max(np.abs(np.asarray(sol.controls) - U_oracle))
+    assert err <= PARITY_TOL, f"max|u - u_oracle| = {err:.2e}"
+
+
+def test_config4_dynamic_obstacle_parity():
+    # Config 4: a predicted human track crossing the robot's path.
+    cfg = MPCConfig(horizon=20, time_step=0.1, max_obstacles=1)
+    obs = dynamic_set(
+        [[1.2, -0.6]], orientations=np.deg2rad(90.0), linear_velocities=0.5,
+        dtype=jnp.float64,
+    )
+    inflation = 0.4
+    problem = problem_with_obstacles(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([2.0, 0.0, 0.0]), obs,
+        inflation_radius=inflation, prediction_dt=cfg.time_step,
+        dtype=jnp.float64,
+    )
+    solver = make_solver(cfg)
+    sol = solver(problem)
+    assert bool(sol.diagnostics.converged)
+
+    # Per-timestep clearance vs the *moving* center (intended semantics).
+    tracks = np.asarray(problem.obstacle_centers)[0]  # [N, 2]
+    p = np.asarray(sol.states[1:, :2])
+    d = np.linalg.norm(p - tracks, axis=1) - float(problem.obstacle_radii[0])
+    assert np.min(d) >= inflation - 1e-6
+
+    X, U_oracle, res = solve_oracle(
+        horizon=cfg.horizon,
+        time_step=cfg.time_step,
+        initial_state=[0.0, 0.0, 0.0],
+        goal_state=[2.0, 0.0, 0.0],
+        control_lower=np.asarray(problem.control_lower),
+        control_upper=np.asarray(problem.control_upper),
+        state_lower=np.asarray(problem.state_lower),
+        state_upper=np.asarray(problem.state_upper),
+        obstacle_centers=np.asarray(problem.obstacle_centers),
+        obstacle_radii=np.asarray(problem.obstacle_radii),
+        inflation_radius=inflation,
+    )
+    assert res.status in (1, 2)
+    err = np.max(np.abs(np.asarray(sol.controls) - U_oracle))
+    assert err <= PARITY_TOL, f"max|u - u_oracle| = {err:.2e}"
+
+
+@pytest.mark.xfail(
+    reason=(
+        "Restoration-phase hard case: a warm start driving straight through "
+        "an obstacle at bound speed leaves the reachable tube and the "
+        "clearance region locally disjoint; the merit deadlocks between the "
+        "barrier wall and the defect penalty.  IPOPT dedicates a separate "
+        "restoration NLP to this.  Planned fix: soft-constraint (exact l1 "
+        "penalty) fallback mode.  Honest failure reporting for this case is "
+        "covered by test_infeasible_problem_degrades_gracefully."
+    ),
+    strict=False,
+)
+def test_infeasible_warm_start_recovers():
+    # A warm-start *trajectory* that drives straight through the obstacle
+    # (slacks would need log of a negative constraint without the slack
+    # reformulation) must still land on a feasible, converged solution.
+    cfg = MPCConfig(horizon=20, time_step=0.1, max_obstacles=1)
+    obs = static_set([[0.4, 0.0]], [0.2], dtype=jnp.float64)
+    inflation = 0.2
+    # warm start: straight line through the obstacle center
+    warm_controls = np.tile(np.array([0.5, 0.0]), (cfg.horizon, 1))
+    warm_states = np.stack(
+        [
+            np.linspace(0.0, 1.0, cfg.horizon + 1),
+            np.zeros(cfg.horizon + 1),
+            np.zeros(cfg.horizon + 1),
+        ],
+        axis=1,
+    )
+    problem = problem_with_obstacles(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 0.0, 0.0]), obs,
+        inflation_radius=inflation,
+        warm_states=jnp.asarray(warm_states),
+        warm_controls=jnp.asarray(warm_controls),
+        dtype=jnp.float64,
+    )
+    sol = make_solver(cfg)(problem)
+    assert bool(sol.diagnostics.converged)
+    p = np.asarray(sol.states[1:, :2])
+    d = np.linalg.norm(p - np.array([0.4, 0.0]), axis=1) - 0.2
+    assert np.min(d) >= inflation - 1e-6
+    assert bool(jnp.all(jnp.isfinite(sol.states)))
+
+
+def test_infeasible_problem_degrades_gracefully():
+    # Start pinned *inside* the inflation margin: the NLP is genuinely
+    # infeasible for the first few timesteps (the robot cannot teleport out).
+    # The fixed-iteration solver must not NaN and must report not-converged
+    # rather than pretending success (the reference applies garbage from a
+    # failed IPOPT solve without checking, `mpc/agent.py:139-155` —
+    # SURVEY.md section 5.3).
+    cfg = MPCConfig(horizon=15, time_step=0.1, max_obstacles=1)
+    obs = static_set([[0.0, 0.0]], [0.3], dtype=jnp.float64)
+    problem = problem_with_obstacles(
+        cfg, jnp.array([0.25, 0.0, 0.0]), jnp.array([1.5, 0.0, 0.0]), obs,
+        inflation_radius=0.2, dtype=jnp.float64,
+    )
+    sol = make_solver(cfg)(problem)
+    assert bool(jnp.all(jnp.isfinite(sol.states)))
+    assert bool(jnp.all(jnp.isfinite(sol.controls)))
+    d = sol.diagnostics
+    # feasibility residual must reflect the violation, not hide it
+    assert float(d.kkt_feasibility) > 1e-3
+    assert not bool(d.converged)
+
+
+def test_padding_mask_is_inert():
+    # A padded (inactive) obstacle sitting right on the path must not deflect.
+    cfg0 = MPCConfig(horizon=15, time_step=0.1, max_obstacles=0)
+    cfg2 = MPCConfig(horizon=15, time_step=0.1, max_obstacles=2)
+    start, goal = jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 0.0, 0.0])
+    sol0 = make_solver(cfg0)(default_problem(cfg0, start, goal, dtype=jnp.float64))
+    prob2 = default_problem(
+        cfg2, start, goal,
+        obstacle_centers=jnp.tile(jnp.array([[0.5, 0.0]]), (2, 1)),
+        obstacle_radii=jnp.array([0.3, 0.3]),
+        obstacle_mask=jnp.zeros(2),
+        inflation_radius=0.2,
+        dtype=jnp.float64,
+    )
+    sol2 = make_solver(cfg2)(prob2)
+    np.testing.assert_allclose(
+        np.asarray(sol0.controls), np.asarray(sol2.controls), atol=1e-8
+    )
