@@ -447,10 +447,25 @@ def _diagnostics(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> Diagnost
         return lam, r_u
 
     lam_N = gx_L[-1]
-    _, r_u = jax.lax.scan(
+    lam_0, r_u = jax.lax.scan(
         adjoint, lam_N, (A, gx_L[:-1], B, gu_L), reverse=True
     )
-    stationarity = jnp.max(jnp.abs(r_u))
+    # IPOPT-style scaling of the dual residual (its s_d): divide by the
+    # average multiplier magnitude when it exceeds s_max = 100.  Without
+    # this, a large-cost problem in f32 can never report convergence — the
+    # raw stationarity floor is eps * gradient-scale.
+    nu_sum = jnp.zeros((), gu.dtype)
+    nu_cnt = jnp.zeros((), gu.dtype)
+    for v, mask in (
+        (it.nu_cl, m.cl), (it.nu_cu, m.cu), (it.nu_xl, m.xl),
+        (it.nu_xu, m.xu), (it.nu_ob, m.ob),
+    ):
+        if v.size:
+            nu_sum = nu_sum + jnp.sum(mask * jnp.abs(v))
+            nu_cnt = nu_cnt + jnp.sum(mask)
+    s_max = 100.0
+    s_d = jnp.maximum(s_max, nu_sum / jnp.maximum(nu_cnt, 1.0)) / s_max
+    stationarity = jnp.max(jnp.abs(r_u)) / s_d
 
     d = unicycle.defects(it.states, it.controls, cfg.time_step)
     pin = problem.initial_state - it.states[0]
@@ -470,11 +485,16 @@ def _diagnostics(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> Diagnost
         jnp.max(jnp.abs(d)), jnp.max(jnp.abs(pin))
     )
     feasibility = jnp.maximum(feasibility, viol)
-    tol = cfg.solver.kkt_tol
+    # Effective tolerance is dtype-aware: f32 cannot reach 1e-6 stationarity
+    # at realistic cost scales; 50*sqrt(eps) (~3.5e-3 in f32, ~7.5e-7 in f64)
+    # is the practical floor.
+    eps = jnp.finfo(it.states.dtype).eps
+    tol = jnp.maximum(cfg.solver.kkt_tol, 50.0 * jnp.sqrt(eps))
+    comp_scaled = comp / s_d
     converged = (
         (stationarity < tol)
         & (feasibility < tol)
-        & (comp < jnp.maximum(10.0 * cfg.solver.mu_min, tol))
+        & (comp_scaled < jnp.maximum(10.0 * cfg.solver.mu_min, tol))
     )
     final_cost = costs.total_cost(
         cfg.cost, it.states, it.controls, problem.goal_state

@@ -1,0 +1,169 @@
+"""Receding-horizon integration tests (reference L2/L3 semantics).
+
+Episode loops reaching waypoints, warm-start carry-over, obstacle avoidance
+in closed loop — the rebuild of the `ROSEnvironment.step` research loop
+(`mpc/environment.py:39-80`) exercised end-to-end as jitted scans.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kissmpc_tpu import MPCConfig
+from kissmpc_tpu import agent as agent_mod
+from kissmpc_tpu import environment as env_mod
+from kissmpc_tpu.agent import AgentParams
+from kissmpc_tpu.obstacles import dynamic_set, empty, static_set
+
+
+def _cfg(**kw):
+    base = dict(horizon=20, time_step=0.1)
+    base.update(kw)
+    return MPCConfig(**base)
+
+
+def test_agent_step_semantics():
+    cfg = _cfg()
+    params = AgentParams()
+    agent = agent_mod.init_agent(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 0.5, 0.0]),
+        dtype=jnp.float64,
+    )
+    new, diag = agent_mod.step(cfg, params, agent)
+    assert bool(diag.converged)
+    # commanded velocities latch U[:, 0] (`mpc/agent.py:154-155`)
+    np.testing.assert_allclose(
+        float(new.linear_velocity), float(new.controls_matrix[0, 0])
+    )
+    np.testing.assert_allclose(
+        float(new.angular_velocity), float(new.controls_matrix[0, 1])
+    )
+    # `state` is column 1 of the plan (`mpc/agent.py:70-72`)
+    np.testing.assert_allclose(
+        np.asarray(agent_mod.current_state(new)), np.asarray(new.states_matrix[1])
+    )
+
+
+def test_agent_reset_semantics():
+    cfg = _cfg()
+    agent = agent_mod.init_agent(
+        cfg, jnp.array([0.5, -0.5, 1.0]), jnp.array([1.0, 0.5, 0.0]),
+        dtype=jnp.float64,
+    )
+    agent, _ = agent_mod.step(cfg, AgentParams(), agent)
+    r = agent_mod.reset(cfg, agent, matrices_only=True)
+    # matrices re-tiled from initial state; velocities preserved
+    np.testing.assert_allclose(
+        np.asarray(r.states_matrix),
+        np.tile(np.asarray(agent.initial_state), (cfg.horizon + 1, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(r.controls_matrix), 0.0)
+    assert float(r.linear_velocity) == float(agent.linear_velocity)
+
+    r2 = agent_mod.reset(cfg, agent, matrices_only=False)
+    assert float(r2.linear_velocity) == 0.0
+
+
+def test_episode_reaches_single_waypoint():
+    cfg = _cfg()
+    params = AgentParams()
+    env = env_mod.init_env(
+        cfg, jnp.array([0.0, 0.0, 0.0]),
+        waypoints=jnp.array([[1.5, 0.5, 0.0]]), dtype=jnp.float64,
+    )
+    env, infos = env_mod.run_episode(cfg, params, env, num_steps=40)
+    assert bool(env_mod.final_goal_reached(params, env))
+    # goal reached within surface distance + goal radius
+    pos = np.asarray(agent_mod.position(env.agent))
+    assert np.linalg.norm(pos - np.array([1.5, 0.5])) <= 0.5 + params.radius + 1e-6
+    # every tick's solve converged
+    assert bool(jnp.all(infos.diagnostics.converged))
+
+
+def test_episode_advances_waypoints_in_order():
+    cfg = _cfg()
+    params = AgentParams()
+    waypoints = jnp.array(
+        [[0.8, 0.0, 0.0], [1.6, 0.6, 0.0], [2.4, 0.0, 0.0]]
+    )
+    env = env_mod.init_env(
+        cfg, jnp.array([0.0, 0.0, 0.0]), waypoints, dtype=jnp.float64
+    )
+    env, infos = env_mod.run_episode(cfg, params, env, num_steps=120)
+    idx = np.asarray(infos.waypoint_index)
+    assert np.all(np.diff(idx) >= 0), "waypoint index must be monotone"
+    assert int(env.waypoint_index) == 2
+    assert bool(env_mod.final_goal_reached(params, env))
+
+
+def test_episode_with_obstacle_no_collision():
+    # Obstacle offset from the start-goal line so the detour is locally
+    # favorable.  (A *centered* obstacle traps the goal-tracking formulation
+    # in the stationary point right in front of it — that is a property of
+    # the reference's cost, not of the solver; IPOPT parks there too.)
+    cfg = _cfg(max_obstacles=2)
+    params = AgentParams(radius=0.15)
+    obs = static_set(
+        [[1.0, 0.3], [5.0, 5.0]], [0.25, 0.25], max_obstacles=2,
+        dtype=jnp.float64,
+    )
+    env = env_mod.init_env(
+        cfg, jnp.array([0.0, 0.0, 0.0]),
+        waypoints=jnp.array([[2.2, 0.0, 0.0]]), dtype=jnp.float64,
+    )
+
+    stepper = jax.jit(lambda e: env_mod.step(cfg, params, e, obs))
+    positions = []
+    for _ in range(60):
+        env, info = stepper(env)
+        positions.append(np.asarray(agent_mod.position(env.agent)))
+    positions = np.stack(positions)
+    # executed path never penetrates the inflated obstacle (r 0.25 + robot
+    # radius 0.15)
+    dist = np.linalg.norm(positions - np.array([1.0, 0.3]), axis=1)
+    assert np.min(dist) >= 0.25 + params.radius - 1e-3, f"min dist {np.min(dist)}"
+    assert bool(env_mod.final_goal_reached(params, env))
+
+
+def test_episode_jit_scan_compiles_once():
+    # The whole episode must be one compiled scan (no per-tick retrace).
+    cfg = _cfg()
+    params = AgentParams()
+
+    @jax.jit
+    def rollout(env):
+        return env_mod.run_episode(cfg, params, env, num_steps=30)
+
+    env = env_mod.init_env(
+        cfg, jnp.array([0.0, 0.0, 0.0]),
+        waypoints=jnp.array([[1.0, 0.3, 0.0]]), dtype=jnp.float64,
+    )
+    env2, infos = rollout(env)
+    assert infos.diagnostics.converged.shape == (30,)
+    assert bool(env_mod.final_goal_reached(params, env2))
+
+
+def test_batched_episodes_vmap():
+    # Config-5 pattern: many scenarios' episodes advanced in lockstep.
+    cfg = _cfg()
+    params = AgentParams()
+    starts = jnp.asarray(
+        np.concatenate(
+            [np.random.default_rng(0).uniform(-0.5, 0.5, (4, 2)), np.zeros((4, 1))],
+            axis=1,
+        )
+    )
+    waypoints = jnp.tile(jnp.array([[[1.2, 0.4, 0.0]]]), (4, 1, 1))
+
+    def make_env(s, w):
+        return env_mod.init_env(cfg, s, w, dtype=jnp.float64)
+
+    envs = jax.vmap(make_env)(starts, waypoints)
+
+    def ep(env):
+        return env_mod.run_episode(cfg, params, env, num_steps=40)
+
+    envs2, infos = jax.jit(jax.vmap(ep))(envs)
+    reached = jax.vmap(lambda e: env_mod.final_goal_reached(params, e))(envs2)
+    assert bool(jnp.all(reached))

@@ -1,0 +1,154 @@
+"""Host I/O layer: Model surface, transforms, pub-sub control loop.
+
+Validates the exact surface the reference ROS node consumes
+(`ros2interface.py` — against the missing `mpc.model.Model`, SURVEY.md 2.4
+item 9) and the race-free snapshot plumbing replacing its callback mutation.
+"""
+
+import numpy as np
+import pytest
+
+from kissmpc_tpu.io import (
+    SE2,
+    ControlLoop,
+    LatestValue,
+    Model,
+    decimate_plan,
+    plan_changed,
+    quaternion_from_yaw,
+    yaw_from_quaternion,
+)
+
+
+def test_yaw_quaternion_roundtrip():
+    for yaw in [-3.0, -1.2, 0.0, 0.7, 2.9]:
+        q = quaternion_from_yaw(yaw)
+        np.testing.assert_allclose(yaw_from_quaternion(q), yaw, atol=1e-12)
+
+
+def test_yaw_matches_scipy():
+    scipy_rot = pytest.importorskip("scipy.spatial.transform").Rotation
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        q = rng.normal(size=4)
+        q = q / np.linalg.norm(q)
+        expected = scipy_rot.from_quat(q).as_euler("xyz")[2]
+        np.testing.assert_allclose(yaw_from_quaternion(q), expected, atol=1e-10)
+
+
+def test_se2_apply_and_inverse():
+    t = SE2(1.0, -2.0, 0.7)
+    p = np.array([[0.3, 0.4], [-1.0, 2.0]])
+    q = t.apply(p)
+    back = t.inverse().apply(q)
+    np.testing.assert_allclose(back, p, atol=1e-12)
+    pose = np.array([0.3, 0.4, 0.5])
+    np.testing.assert_allclose(
+        t.apply_pose(pose)[:2], t.apply(pose[:2]), atol=1e-12
+    )
+    np.testing.assert_allclose(t.apply_pose(pose)[2], 0.5 + 0.7)
+
+
+def test_decimate_plan_stride_and_final():
+    poses = np.stack([np.arange(100.0), np.zeros(100), np.zeros(100)], axis=1)
+    wp = decimate_plan(poses, stride=25)
+    np.testing.assert_allclose(wp[:, 0], [0.0, 25.0, 50.0, 75.0, 99.0])
+
+
+def test_plan_changed_gate():
+    wps = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 0.0]])
+    assert not plan_changed(wps, [1.0, 1.05, 0.0])  # sum diff 0.05 < 0.1
+    assert plan_changed(wps, [1.5, 1.0, 0.0])
+    assert plan_changed(None, [0.0, 0.0, 0.0])
+    assert plan_changed(np.zeros((0, 3)), [0.0, 0.0, 0.0])
+
+
+def test_model_deployment_surface():
+    # Deployment config of the reference node (`ros2interface.py:28-38`).
+    model = Model(
+        id=1,
+        initial_position=(0.0, 0.0),
+        initial_orientation=np.deg2rad(90),
+        horizon=7,
+        use_warm_start=True,
+        planning_time_step=0.8,
+        linear_velocity_bounds=(-0.3, 0.3),
+        angular_velocity_bounds=(-0.3, 0.3),
+        waypoints=[],
+    )
+    assert model.states_matrix.shape == (3, 8)  # reference layout [3, N+1]
+    model.waypoints = np.array([[0.0, 2.0, np.pi / 2]])
+    model.waypoint_index = 0
+    model.update_goal(model.current_waypoint())
+
+    for _ in range(3):
+        model.step()
+    assert isinstance(model.linear_velocity, float)
+    assert abs(model.linear_velocity) <= 0.3 + 1e-5
+    assert abs(model.angular_velocity) <= 0.3 + 1e-5
+    # heading +y with theta=90deg: should drive forward
+    assert model.linear_velocity > 0.05
+
+    # odometry override path (`ros2interface.py:91-107`)
+    model.initial_state = np.array([0.0, 0.5, np.pi / 2])
+    model.reset(matrices_only=True)
+    np.testing.assert_allclose(model.states_matrix[:, 0], [0.0, 0.5, np.pi / 2])
+    model.step(state_override=True)
+    assert model.linear_velocity > 0.0
+
+
+def test_model_waypoint_advance():
+    model = Model(
+        initial_position=(0.0, 0.0),
+        initial_orientation=0.0,
+        horizon=10,
+        planning_time_step=0.2,
+        linear_velocity_bounds=(-0.2, 0.5),
+        angular_velocity_bounds=(-0.5, 0.5),
+        waypoints=[[0.6, 0.0, 0.0], [1.4, 0.0, 0.0]],
+    )
+    for _ in range(25):
+        model.step()
+    assert model.waypoint_index == 1
+    np.testing.assert_allclose(model.goal_state, [1.4, 0.0, 0.0])
+
+
+def test_latest_value_versions():
+    slot = LatestValue()
+    assert slot.read() == (None, 0)
+    slot.publish("a")
+    slot.publish("b")
+    v, ver = slot.read()
+    assert v == "b" and ver == 2
+
+
+def test_control_loop_end_to_end():
+    model = Model(
+        initial_position=(0.0, 0.0),
+        initial_orientation=0.0,
+        horizon=8,
+        planning_time_step=0.2,
+        linear_velocity_bounds=(-0.2, 0.5),
+        angular_velocity_bounds=(-0.5, 0.5),
+    )
+    odom = LatestValue()
+    plan = LatestValue()
+    commands = []
+    loop = ControlLoop(
+        model,
+        odometry=odom,
+        plan=plan,
+        on_command=lambda v, w: commands.append((v, w)),
+    )
+    # no plan yet -> no command (`ros2interface.py:52`)
+    assert not loop.tick()
+    assert commands == []
+
+    plan.publish(np.array([[1.0, 0.2, 0.0]]))
+    odom.publish(np.array([0.0, 0.0, 0.0]))
+    for _ in range(5):
+        assert loop.tick()
+    assert len(commands) == 5
+    assert commands[-1][0] > 0.0  # driving toward the goal
+    # odometry folded in: plan starts from the published pose
+    np.testing.assert_allclose(model.states_matrix[:, 0], [0.0, 0.0, 0.0], atol=0.2)
