@@ -1,0 +1,186 @@
+"""Perception stack tests: projection, clustering (vs sklearn), tracker.
+
+The reference pipeline (`obstacle_handling/human_tracking.py`) is validated
+structurally: each stage matches its oracle (sklearn DBSCAN for clustering,
+manual pinhole math for projection) and the end-to-end pipeline recovers
+synthetic humans and feeds them to the solver as dynamic obstacles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kissmpc_tpu.perception import (
+    SE3,
+    FrameGeometry,
+    Intrinsics,
+    TrackerConfig,
+    dbscan,
+    detect_centers,
+    init_perception,
+    init_tracks,
+    largest_cluster_mean,
+    to_obstacles,
+    tracker,
+)
+from kissmpc_tpu.perception import pipeline as pipe
+
+
+def test_se3_quaternion_matches_scipy():
+    scipy_rot = pytest.importorskip("scipy.spatial.transform").Rotation
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=4)
+    q = q / np.linalg.norm(q)
+    t = rng.normal(size=3)
+    se3 = SE3.from_quaternion(t, q)
+    pts = rng.normal(size=(10, 3))
+    expected = scipy_rot.from_quat(q).apply(pts) + t
+    np.testing.assert_allclose(np.asarray(se3.apply(pts)), expected, atol=1e-10)
+    # inverse
+    back = se3.inverse().apply(se3.apply(pts))
+    np.testing.assert_allclose(np.asarray(back), pts, atol=1e-10)
+
+
+def test_projection_pinhole():
+    intr = Intrinsics(
+        fx=jnp.float64(500.0), fy=jnp.float64(500.0),
+        cx=jnp.float64(320.0), cy=jnp.float64(240.0),
+    )
+    pts = jnp.array([[0.0, 0.0, 2.0], [0.2, -0.1, 1.0], [0.0, 0.0, -1.0]])
+    mask = jnp.array([True, True, True])
+    from kissmpc_tpu.perception.projection import project_points
+
+    uv, valid = project_points(intr, pts, mask, 640, 480)
+    assert bool(valid[0]) and bool(valid[1])
+    assert not bool(valid[2])  # behind camera
+    np.testing.assert_array_equal(np.asarray(uv[0]), [320, 240])
+    np.testing.assert_array_equal(np.asarray(uv[1]), [420, 190])
+
+
+def test_dbscan_matches_sklearn_membership():
+    skl = pytest.importorskip("sklearn.cluster")
+    rng = np.random.default_rng(3)
+    # three blobs + sparse noise
+    blobs = [
+        rng.normal(loc=(0, 0), scale=0.02, size=(30, 2)),
+        rng.normal(loc=(1, 1), scale=0.02, size=(25, 2)),
+        rng.normal(loc=(-1, 0.5), scale=0.02, size=(15, 2)),
+    ]
+    noise = rng.uniform(-2, 2, size=(10, 2))
+    pts = np.concatenate(blobs + [noise])
+    eps, ms = 0.08, 10
+
+    ours = dbscan(jnp.asarray(pts), jnp.ones(len(pts), bool), eps, ms)
+    theirs = skl.DBSCAN(eps=eps, min_samples=ms).fit(pts).labels_
+
+    ours_l = np.asarray(ours.labels)
+    # same noise set
+    np.testing.assert_array_equal(ours_l == -1, theirs == -1)
+    # same partition: co-membership matrices agree
+    co_ours = (ours_l[:, None] == ours_l[None, :]) & (ours_l[:, None] >= 0)
+    co_theirs = (theirs[:, None] == theirs[None, :]) & (theirs[:, None] >= 0)
+    np.testing.assert_array_equal(co_ours, co_theirs)
+    assert int(ours.num_clusters) == theirs.max() + 1
+
+
+def test_largest_cluster_mean():
+    pts = np.concatenate(
+        [
+            np.random.default_rng(0).normal((0, 0), 0.01, (20, 2)),
+            np.random.default_rng(1).normal((2, 2), 0.01, (8, 2)),
+        ]
+    )
+    res = dbscan(jnp.asarray(pts), jnp.ones(len(pts), bool), 0.08, 5)
+    center, found = largest_cluster_mean(jnp.asarray(pts), res)
+    assert bool(found)
+    np.testing.assert_allclose(np.asarray(center), [0, 0], atol=0.05)
+
+
+def test_tracker_spawn_update_retire():
+    cfg = TrackerConfig(max_misses=2, min_hits=2)
+    tracks = init_tracks(4, jnp.float64)
+    det = jnp.array([[1.0, 0.0], [0.0, 2.0]])
+    ok = jnp.array([True, True])
+    step = jax.jit(lambda tr, d, m: tracker.update(cfg, tr, d, m, 0.1))
+
+    tracks = step(tracks, det, ok)
+    assert int(jnp.sum(tracks.active)) == 2
+    assert not bool(jnp.any(tracker.confirmed(cfg, tracks)))  # 1 hit < 2
+
+    # second frame: both move slightly -> matched, confirmed
+    det2 = det + 0.05
+    tracks = step(tracks, det2, ok)
+    assert int(jnp.sum(tracker.confirmed(cfg, tracks))) == 2
+
+    # disappear for 3 frames -> retired
+    none = jnp.zeros((2, 2))
+    nomask = jnp.array([False, False])
+    for _ in range(3):
+        tracks = step(tracks, none, nomask)
+    assert int(jnp.sum(tracks.active)) == 0
+
+
+def test_tracker_velocity_estimate():
+    cfg = TrackerConfig()
+    tracks = init_tracks(2, jnp.float64)
+    dt = 0.1
+    pos = np.array([[0.0, 0.0]])
+    ok = jnp.array([True])
+    for k in range(12):
+        det = jnp.asarray(pos + np.array([[0.1 * k, 0.0]]))  # 1 m/s in x
+        tracks = tracker.update(cfg, tracks, det, ok, dt)
+    v = np.asarray(tracks.velocity[0])
+    assert abs(v[0] - 1.0) < 0.2 and abs(v[1]) < 0.05
+
+    obs = to_obstacles(cfg, tracks)
+    active = np.asarray(obs.active) > 0.5
+    assert active.sum() == 1
+    assert abs(float(obs.linear_velocity[np.argmax(active)]) - 1.0) < 0.2
+
+
+def test_pipeline_end_to_end_synthetic():
+    # Synthetic scene: a "human" cluster 2 m in front of the lidar; camera
+    # co-located with identity extrinsics; one instance mask covering the
+    # projected pixels.
+    H, W, P = 48, 64, 256
+    intr = Intrinsics(
+        fx=jnp.float32(40.0), fy=jnp.float32(40.0),
+        cx=jnp.float32(W / 2), cy=jnp.float32(H / 2),
+    )
+    eye = SE3(rotation=jnp.eye(3), translation=jnp.zeros(3))
+    geom = FrameGeometry(
+        intrinsics=intr, lidar_to_camera=eye, lidar_to_map=eye,
+        image_width=W, image_height=H,
+    )
+    rng = np.random.default_rng(0)
+    human = rng.normal(loc=(0.0, 0.0), scale=0.02, size=(40, 2))
+    pts = np.zeros((P, 3), dtype=np.float32)
+    pts[:40, 0] = human[:, 0]
+    pts[:40, 1] = human[:, 1]
+    pts[:40, 2] = 2.0  # 2 m ahead (camera z)
+    mask = np.zeros(P, bool)
+    mask[:40] = True
+
+    seg = np.zeros((1, H, W), bool)
+    seg[0] = True  # generous instance mask
+    centers, found = detect_centers(
+        geom,
+        jnp.asarray(pts),
+        jnp.asarray(mask),
+        jnp.asarray(seg),
+        jnp.array([True]),
+        eps=0.1,
+        min_samples=5,
+    )
+    assert bool(found[0])
+    np.testing.assert_allclose(np.asarray(centers[0]), [0.0, 0.0], atol=0.05)
+
+    # feed through the full perception step into solver obstacles
+    state = init_perception(capacity=4, dtype=jnp.float32)
+    cfg = TrackerConfig(min_hits=1)
+    state, obstacles = pipe.step(
+        cfg, state, geom, jnp.asarray(pts), jnp.asarray(mask),
+        jnp.asarray(seg), jnp.array([True]), dt=0.1,
+    )
+    assert float(jnp.sum(obstacles.active)) == 1.0
