@@ -32,17 +32,23 @@ def main():
     problems = _example_problems(cfg, batch=batch, dtype=jnp.float32)
     solver = make_batch_solver(cfg)
 
+    def run_once():
+        sol = solver(problems)
+        # Sync by value: pulling a scalar to the host is the only fence that
+        # is reliable across PJRT transports (block_until_ready on a remote
+        # backend can return before execution completes).
+        float(jnp.sum(sol.controls))
+        return sol
+
     # Warm-up / compile.
-    sol = solver(problems)
-    jax.block_until_ready(sol)
+    sol = run_once()
 
     # Steady state: several timed repetitions, take the best (device-bound).
     reps = 5
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        sol = solver(problems)
-        jax.block_until_ready(sol)
+        sol = run_once()
         times.append(time.perf_counter() - t0)
     dt = min(times)
     solves_per_sec = batch / dt

@@ -48,6 +48,9 @@ class AgentParams:
         (-0.5, 0.5),
     )
     state_bounds: Tuple[float, float] = (-20.0, 20.0)
+    # A solve with equality/constraint residual above this is treated as
+    # failed and the previous (shifted) plan is kept (SURVEY.md 5.3).
+    fallback_feasibility: float = 1e-2
 
     @property
     def inflation_radius(self) -> float:
@@ -163,10 +166,25 @@ def step(
         dtype=dtype,
     )
     sol = ipm.solve(cfg, problem)
+
+    # Failure policy (SURVEY.md section 5.3): the reference applies whatever
+    # a failed IPOPT solve returns (`mpc/agent.py:139-155`).  Here a solve
+    # whose equality/constraint residual is unusable falls back to the
+    # previous plan *shifted by one step* — the robot keeps executing the
+    # last good trajectory instead of garbage.
+    bad = sol.diagnostics.kkt_feasibility > params.fallback_feasibility
+    shifted_states = jnp.concatenate(
+        [agent.states_matrix[1:], agent.states_matrix[-1:]], axis=0
+    )
+    shifted_controls = jnp.concatenate(
+        [agent.controls_matrix[1:], jnp.zeros_like(agent.controls_matrix[-1:])],
+        axis=0,
+    )
+    pick = lambda good, fb: jnp.where(bad, fb, good)
     new = agent._replace(
-        states_matrix=sol.states,
-        controls_matrix=sol.controls,
-        linear_velocity=sol.controls[0, 0],
-        angular_velocity=sol.controls[0, 1],
+        states_matrix=pick(sol.states, shifted_states),
+        controls_matrix=pick(sol.controls, shifted_controls),
+        linear_velocity=pick(sol.controls[0, 0], shifted_controls[0, 0]),
+        angular_velocity=pick(sol.controls[0, 1], shifted_controls[0, 1]),
     )
     return new, sol.diagnostics

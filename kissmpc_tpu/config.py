@@ -81,6 +81,10 @@ class SolverConfig:
     obstacle_curvature: bool = True
     # KKT tolerance used only to *report* convergence (never for control flow).
     kkt_tol: float = 1e-6
+    # Newton-KKT engine for *batched* solves: "auto" uses the scenario-major
+    # Pallas Riccati kernel on TPU and the vmapped XLA scan elsewhere;
+    # "xla" / "pallas" force a backend.  Unbatched solves always use XLA.
+    lqr_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

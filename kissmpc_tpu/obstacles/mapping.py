@@ -124,6 +124,7 @@ def pack_circles(
     min_radius: float = 1.0,
     max_circles: int | None = None,
     occupied_is_dark: bool = True,
+    use_native: bool = True,
 ):
     """Greedy maximal-inscribed-circle packing of the occupied region.
 
@@ -137,6 +138,20 @@ def pack_circles(
     gray = np.asarray(gray)
     binary = gray > threshold  # True = light (free) as in `:22`
     occupied = ~binary if occupied_is_dark else binary
+
+    if use_native:
+        from .. import native
+
+        d = native.edt(occupied)
+        if d is not None:
+            packed = native.pack_circles_from_dist(
+                d.astype(np.float32),
+                float(min_radius),
+                int(max_circles) if max_circles is not None else d.size,
+            )
+            if packed is not None:
+                return packed
+
     dist = distance_transform_edt(occupied)
 
     h, w = dist.shape

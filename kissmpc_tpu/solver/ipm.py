@@ -39,10 +39,42 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from ..config import MPCConfig
 from ..models import costs, unicycle
-from ..ops.lqr import LQRData, solve_lqr
+from ..ops.lqr import LQRData, LQRSolution, solve_lqr
 from .problem import Diagnostics, Problem, Solution
+
+
+@functools.lru_cache(maxsize=None)
+def _lqr_engine(reg: float, backend: str):
+    """Newton-KKT engine with batched-dispatch to the Pallas kernel.
+
+    Unbatched calls run the XLA Riccati scan; under `jax.vmap` the
+    custom-vmap rule reroutes the whole batch to the scenario-major Pallas
+    kernel (`ops/pallas/riccati.py`) when the backend allows it.
+    """
+    if backend == "xla":
+        return lambda data: solve_lqr(data, reg)
+    if backend == "auto":
+        platform = jax.devices()[0].platform
+        if platform == "cpu":
+            return lambda data: solve_lqr(data, reg)
+
+    from ..ops.pallas.riccati import solve_lqr_pallas
+
+    @jax.custom_batching.custom_vmap
+    def engine(data: LQRData) -> LQRSolution:
+        return solve_lqr(data, reg)
+
+    @engine.def_vmap
+    def _rule(axis_size, in_batched, data):
+        del axis_size, in_batched
+        sol = solve_lqr_pallas(data, reg=reg)
+        return sol, LQRSolution(dx=True, du=True, K=True, k=True)
+
+    return engine
 
 def _sigma_max(dtype) -> float:
     """Dual/slack ratio safeguard (IPOPT's kappa_Sigma analogue).
@@ -277,7 +309,7 @@ def _build_lqr(cfg: MPCConfig, problem: Problem, it: IPMState, mu):
 def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
     sc = cfg.solver
     data = _build_lqr(cfg, problem, it, mu)
-    sol = solve_lqr(data, sc.reg)
+    sol = _lqr_engine(sc.reg, sc.lqr_backend)(data)
     dx, du = sol.dx, sol.du
 
     (c_cl, c_cu, c_xl, c_xu, c_ob), normals, _, m = _constraint_values(

@@ -73,18 +73,19 @@ class MetricsAggregator:
             return {}
         lat = np.array([r.latency_s for r in self.records])
         conv = np.array([r.converged_fraction for r in self.records])
+        stats = np.array([r.kkt_stationarity_max for r in self.records])
+        feas = np.array([r.kkt_feasibility_max for r in self.records])
+        nanmax = lambda a: (
+            float(np.nanmax(a)) if np.any(np.isfinite(a)) else float("nan")
+        )
         return {
             "ticks": len(self.records),
             "latency_p50_ms": float(np.percentile(lat, 50) * 1e3),
             "latency_p99_ms": float(np.percentile(lat, 99) * 1e3),
             "latency_mean_ms": float(lat.mean() * 1e3),
             "converged_fraction_mean": float(np.nanmean(conv)),
-            "kkt_stationarity_worst": float(
-                np.nanmax([r.kkt_stationarity_max for r in self.records])
-            ),
-            "kkt_feasibility_worst": float(
-                np.nanmax([r.kkt_feasibility_max for r in self.records])
-            ),
+            "kkt_stationarity_worst": nanmax(stats),
+            "kkt_feasibility_worst": nanmax(feas),
         }
 
     def to_jsonl(self) -> str:

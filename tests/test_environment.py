@@ -167,3 +167,39 @@ def test_batched_episodes_vmap():
     envs2, infos = jax.jit(jax.vmap(ep))(envs)
     reached = jax.vmap(lambda e: env_mod.final_goal_reached(params, e))(envs2)
     assert bool(jnp.all(reached))
+
+
+def test_failed_solve_falls_back_to_shifted_plan():
+    # Force an unusable solve: start pinned inside an obstacle's inflation
+    # margin (genuinely infeasible NLP).  The agent must keep executing the
+    # previous (shifted) plan, not apply garbage — the reference applies
+    # whatever IPOPT returns (`mpc/agent.py:139-155`, SURVEY.md 5.3).
+    from kissmpc_tpu.obstacles import static_set
+
+    cfg = _cfg(max_obstacles=1)
+    params = AgentParams(radius=0.2, fallback_feasibility=1e-2)
+    agent = agent_mod.init_agent(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([2.0, 0.0, 0.0]),
+        dtype=jnp.float64,
+    )
+    # seed a known-good plan first (no obstacles)
+    agent, diag = agent_mod.step(cfg, params, agent)
+    assert bool(diag.converged)
+    good_states = np.asarray(agent.states_matrix)
+    good_controls = np.asarray(agent.controls_matrix)
+
+    # now an obstacle right on top of the current state -> infeasible solve
+    obs = static_set([[float(good_states[1, 0]), float(good_states[1, 1])]],
+                     [0.3], dtype=jnp.float64)
+    agent2, diag2 = agent_mod.step(cfg, params, agent, obs)
+    assert float(diag2.kkt_feasibility) > 1e-2
+    # fallback: the new plan is the old plan shifted by one step
+    np.testing.assert_allclose(
+        np.asarray(agent2.states_matrix)[:-1], good_states[1:], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(agent2.controls_matrix)[:-1], good_controls[1:], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(agent2.linear_velocity), good_controls[1, 0], atol=1e-9
+    )

@@ -152,3 +152,35 @@ def test_control_loop_end_to_end():
     assert commands[-1][0] > 0.0  # driving toward the goal
     # odometry folded in: plan starts from the published pose
     np.testing.assert_allclose(model.states_matrix[:, 0], [0.0, 0.0, 0.0], atol=0.2)
+
+
+def test_scenario_record_replay_deterministic(tmp_path):
+    import jax.numpy as jnp
+
+    from kissmpc_tpu import MPCConfig, default_problem, make_solver
+    from kissmpc_tpu.io.replay import ScenarioRecorder, ScenarioReplayer
+
+    cfg = MPCConfig(horizon=8, time_step=0.1)
+    solver = make_solver(cfg)
+    rec = ScenarioRecorder()
+    for i in range(4):
+        p = default_problem(
+            cfg, jnp.array([0.0, 0.0, 0.0]),
+            jnp.array([1.0, 0.1 * i, 0.0]), dtype=jnp.float64,
+        )
+        rec.record(p, solver(p))
+    path = str(tmp_path / "session.npz")
+    rec.save(path)
+
+    rep = ScenarioReplayer(path)
+    assert rep.num_ticks == 4
+    # bit-exact determinism on the same backend
+    assert rep.verify(solver, atol=0.0) == 0.0
+    # tampering is detected
+    rep._solutions = rep._solutions._replace(
+        controls=rep._solutions.controls + 1e-3
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        rep.verify(solver, atol=1e-6)
