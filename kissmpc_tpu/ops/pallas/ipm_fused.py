@@ -1,0 +1,883 @@
+"""Fused interior-point MPC solver — the whole solve as ONE Pallas kernel.
+
+The split path (`solver/ipm.py` + `ops/pallas/riccati.py`) runs the Riccati
+sweep in Pallas but leaves condensation, line search and updates to XLA, and
+pays two layout transposes per iteration.  Here the *entire* fixed-iteration
+primal-dual IPM loop lives in a single kernel: all iterate state (trajectory,
+slacks, duals) stays VMEM-resident in scenario-major layout across all
+iterations — zero HBM traffic inside the solve.
+
+Specializations relative to the generic path:
+ * component-of-arrays layout: x/y/theta/v/omega are separate [T, BT]
+   planes (contiguous whole-array ops for dynamics, costs and constraints);
+ * the unicycle structure is exploited analytically: A = I + dt*[[0,0,-v s],
+   [0,0,v c],[0,0,0]] and B = [[c dt,0],[s dt,0],[0,dt]] have 2 and 3
+   nontrivial entries, the value Hessian P is symmetric (6 planes), and the
+   stage Hessian blocks are diag + one (x,y) off-diagonal — the backward
+   sweep is ~60 fused multiply-adds per step instead of generic 3x3 algebra;
+ * the merit line search walks its 8 candidates with whole-array trial
+   evaluations inside the kernel.
+
+Algorithmic content is identical to `solver/ipm.py` (same merit, fraction-
+to-boundary, adaptive mu/rho/regularization, dual clamp); that jnp path is
+the oracle for this kernel's tests.  Same-named quantities follow SURVEY.md
+citations given there.
+
+Batch: grid over scenario tiles of BT = 512 lanes; everything [rows, BT].
+f32 only (the TPU production dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import MPCConfig
+from ...solver.problem import Problem
+
+BT = 256  # scenarios per program; 512 exceeds VMEM with the body's temporaries
+
+_F32_FLOOR = 1e-10
+_SIGMA_MAX = 1e12
+_KAPPA = 1e10
+
+
+def _reduce_min(x):
+    return jnp.min(x, axis=0, keepdims=True)  # [rows, BT] -> [1, BT]
+
+
+def _reduce_sum(x):
+    return jnp.sum(x, axis=0, keepdims=True)
+
+
+def _reduce_max(x):
+    return jnp.max(x, axis=0, keepdims=True)
+
+
+class _Fam(NamedTuple):
+    """One inequality family's per-iteration tensors ([rows, BT] each)."""
+
+    c: jax.Array
+    s: jax.Array
+    nu: jax.Array
+    mask: jax.Array
+
+
+def _sigma(f: _Fam):
+    return jnp.clip(
+        f.mask * f.nu / jnp.maximum(f.s, _F32_FLOOR), 0.0, _SIGMA_MAX
+    )
+
+
+def _grad_coef(f: _Fam, mu):
+    sig = _sigma(f)
+    g = f.mask * (mu / jnp.maximum(f.s, _F32_FLOOR) - sig * (f.c - f.s))
+    return g, sig
+
+
+def _ftb(v, dv, tau):
+    ratio = jnp.where(dv < 0, -tau * v / jnp.minimum(dv, -1e-30), 1.0)
+    return _reduce_min(ratio)
+
+
+def ipm_fused_kernel(
+    cfg: MPCConfig,
+    # inputs ([rows, BT]):
+    scal_ref,  # [26, BT]: x0(3), goal(3), cb(4), m_cb(4), sb(6), m_xl(3), m_xu(3)
+    warm_ref,  # [5T+?]: packed warm x,y,th (N+1 each), v,w (N each)
+    tx_ref,  # [K*N, BT] obstacle track x (or [1, BT] dummy when K=0)
+    ty_ref,
+    obinfo_ref,  # [2K (+1 dummy), BT]: radius rows then mask rows
+    # outputs (state lives here):
+    x_ref, y_ref, th_ref,  # [N+1, BT]
+    v_ref, w_ref,  # [N, BT]
+    s_c_ref, nu_c_ref,  # [4N, BT]  (vl, vu, wl, wu blocks)
+    s_x_ref, nu_x_ref,  # [6(N+1), BT]  (xl0..2, xu0..2 blocks)
+    s_ob_ref, nu_ob_ref,  # [K*N, BT] (or [1, BT] dummy)
+    # scratch:
+    kk_ref,  # [8N, BT]: K00,K01,K02,K10,K11,K12,k0,k1 blocks
+    dxs_ref,  # [3(N+1), BT]: dx, dy, dth blocks
+    dus_ref,  # [2N, BT]: dv, dw blocks
+    stage_ref,  # [18(N+1), BT]: per-time condensed quantities (see _ST)
+):
+    N = cfg.horizon
+    K = cfg.max_obstacles
+    dt = jnp.float32(cfg.time_step)
+    sc = cfg.solver
+    cc = cfg.cost
+    T1 = N + 1
+
+    # --- static cost constants ------------------------------------------
+    w0, w1, w2 = (jnp.float32(w) for w in cc.goal_weights)
+    w_neg = jnp.float32(cc.negative_velocity_weight)
+    w_pos = jnp.float32(cc.positive_velocity_weight)
+    w_ang = jnp.float32(cc.angular_velocity_weight)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T1, 1), 0)
+    gm = (rows >= 1).astype(jnp.float32)  # goal-cost row mask [T1, 1]
+    if cc.goal_cost_mode == "exclude_terminal":
+        gm = gm * (rows <= N - 1).astype(jnp.float32)
+
+    # --- unpack scalar problem rows -------------------------------------
+    # All scalar-per-scenario rows stay rank-2 [1, BT]: Mosaic's vector
+    # layouts require >= 2-D operands (rank-1 values crash its layout pass).
+    scal = scal_ref[:]
+    row = lambda i: scal[i : i + 1]
+    x0p, y0p, th0p = row(0), row(1), row(2)
+    gx_, gy_, gth_ = row(3), row(4), row(5)
+    v_lb, v_ub, w_lb, w_ub = row(6), row(7), row(8), row(9)
+    m_vl, m_vu, m_wl, m_wu = row(10), row(11), row(12), row(13)
+    xlb = [row(14 + i) for i in range(3)]
+    xub = [row(17 + i) for i in range(3)]
+    m_xl = [row(20 + i) for i in range(3)]
+    m_xu = [row(23 + i) for i in range(3)]
+    infl = (
+        obinfo_ref[2 * K : 2 * K + 1] if K > 0 else jnp.zeros_like(x0p)
+    )
+
+    # --- init state from warm start -------------------------------------
+    warm = warm_ref[:]
+    x_ref[:] = warm[0:T1]
+    y_ref[:] = warm[T1 : 2 * T1]
+    th_ref[:] = warm[2 * T1 : 3 * T1]
+    v_ref[:] = warm[3 * T1 : 3 * T1 + N]
+    w_ref[:] = warm[3 * T1 + N : 3 * T1 + 2 * N]
+
+    if K > 0:
+        rad = [obinfo_ref[k : k + 1] for k in range(K)]
+        obm = [obinfo_ref[K + k : K + k + 1] for k in range(K)]
+
+    def families(xv, yv, thv, vv, wv):
+        """Constraint values + normals at a trial point (whole-array)."""
+        c_vl = vv - v_lb
+        c_vu = v_ub - vv
+        c_wl = wv - w_lb
+        c_wu = w_ub - wv
+        comps = (xv, yv, thv)
+        c_xl = [comps[i] - xlb[i] for i in range(3)]
+        c_xu = [xub[i] - comps[i] for i in range(3)]
+        if K > 0:
+            tx = tx_ref[:]
+            ty = ty_ref[:]
+            obs = []
+            for k in range(K):
+                dxk = xv[1:] - tx[k * N : (k + 1) * N]
+                dyk = yv[1:] - ty[k * N : (k + 1) * N]
+                dist = jnp.sqrt(dxk * dxk + dyk * dyk + 1e-16)
+                c_k = dist - rad[k] - infl
+                ds_safe = jnp.maximum(dist, 1e-2)
+                obs.append((c_k, dxk / ds_safe, dyk / ds_safe, ds_safe))
+        else:
+            obs = []
+        return (c_vl, c_vu, c_wl, c_wu), c_xl, c_xu, obs
+
+    # --- init slacks / duals --------------------------------------------
+    mu0 = jnp.float32(sc.mu_init)
+    (c_vl, c_vu, c_wl, c_wu), c_xl, c_xu, obs = families(
+        x_ref[:], y_ref[:], th_ref[:], v_ref[:], w_ref[:]
+    )
+
+    def init_pair(c, mask):
+        s = jnp.where(mask > 0, jnp.maximum(c, 1e-2), 1.0)
+        nu = jnp.where(mask > 0, mu0 / s, 0.0)
+        return s, nu
+
+    for blk, (c, m) in enumerate(
+        ((c_vl, m_vl), (c_vu, m_vu), (c_wl, m_wl), (c_wu, m_wu))
+    ):
+        s, nu = init_pair(c, m)
+        s_c_ref[blk * N : (blk + 1) * N] = s
+        nu_c_ref[blk * N : (blk + 1) * N] = nu
+    for i in range(3):
+        s, nu = init_pair(c_xl[i], m_xl[i])
+        s_x_ref[i * T1 : (i + 1) * T1] = s
+        nu_x_ref[i * T1 : (i + 1) * T1] = nu
+        s, nu = init_pair(c_xu[i], m_xu[i])
+        s_x_ref[(3 + i) * T1 : (4 + i) * T1] = s
+        nu_x_ref[(3 + i) * T1 : (4 + i) * T1] = nu
+    if K > 0:
+        for k in range(K):
+            s, nu = init_pair(obs[k][0], obm[k])
+            s_ob_ref[k * N : (k + 1) * N] = s
+            nu_ob_ref[k * N : (k + 1) * N] = nu
+
+    # --- helper: load family tuples from refs ----------------------------
+    def load_fams(cv, cxl, cxu, obsv):
+        c_blocks = cv
+        fams = {}
+        names = ("vl", "vu", "wl", "wu")
+        masks = (m_vl, m_vu, m_wl, m_wu)
+        s_c = s_c_ref[:]
+        nu_c = nu_c_ref[:]
+        for blk, nm in enumerate(names):
+            fams[nm] = _Fam(
+                c_blocks[blk],
+                s_c[blk * N : (blk + 1) * N],
+                nu_c[blk * N : (blk + 1) * N],
+                masks[blk],
+            )
+        s_x = s_x_ref[:]
+        nu_x = nu_x_ref[:]
+        for i in range(3):
+            fams[f"xl{i}"] = _Fam(
+                cxl[i], s_x[i * T1 : (i + 1) * T1],
+                nu_x[i * T1 : (i + 1) * T1], m_xl[i],
+            )
+            fams[f"xu{i}"] = _Fam(
+                cxu[i], s_x[(3 + i) * T1 : (4 + i) * T1],
+                nu_x[(3 + i) * T1 : (4 + i) * T1], m_xu[i],
+            )
+        if K > 0:
+            s_o = s_ob_ref[:]
+            nu_o = nu_ob_ref[:]
+            for k in range(K):
+                fams[f"ob{k}"] = _Fam(
+                    obsv[k][0], s_o[k * N : (k + 1) * N],
+                    nu_o[k * N : (k + 1) * N], obm[k],
+                )
+        return fams
+
+    def merit_terms(xv, yv, thv, vv, wv):
+        """(objective, defect/pin l1, trig) at a trial point."""
+        ct = jnp.cos(thv[:-1])
+        st = jnp.sin(thv[:-1])
+        ex, ey, eth = xv - gx_, yv - gy_, thv - gth_
+        obj = _reduce_sum(gm * (w0 * ex * ex + w1 * ey * ey + w2 * eth * eth))
+        neg = jnp.minimum(vv, 0.0)
+        if cc.reverse_penalty_mode == "squared":
+            obj = obj + w_neg * _reduce_sum(neg * neg)
+        else:
+            obj = obj + w_neg * _reduce_sum(neg)
+        pos = jnp.maximum(vv, 0.0)
+        obj = obj + w_pos * _reduce_sum(pos * pos)
+        obj = obj + w_ang * _reduce_sum(wv * wv)
+        d0r = xv[:-1] + vv * ct * dt - xv[1:]
+        d1r = yv[:-1] + vv * st * dt - yv[1:]
+        d2r = thv[:-1] + wv * dt - thv[1:]
+        eq = (
+            _reduce_sum(jnp.abs(d0r))
+            + _reduce_sum(jnp.abs(d1r))
+            + _reduce_sum(jnp.abs(d2r))
+            + jnp.abs(x0p - xv[0:1])
+            + jnp.abs(y0p - yv[0:1])
+            + jnp.abs(gthpin(thv))
+        )
+        return obj, eq, (ct, st, d0r, d1r, d2r)
+
+    def gthpin(thv):
+        return th0p - thv[0:1]
+
+    # --- iteration body ---------------------------------------------------
+    def body(_, reg_carry):
+        reg = reg_carry  # [BT]
+        xv, yv, thv = x_ref[:], y_ref[:], th_ref[:]
+        vv, wv = v_ref[:], w_ref[:]
+        cv, cxl, cxu, obsv = families(xv, yv, thv, vv, wv)
+        fams = load_fams(cv, cxl, cxu, obsv)
+
+        # adaptive mu from mean complementarity
+        tot = jnp.zeros_like(x0p)
+        cnt = jnp.zeros_like(x0p)
+        for f in fams.values():
+            tot = tot + _reduce_sum(f.mask * f.s * f.nu)
+            cnt = cnt + _reduce_sum(f.mask * jnp.ones_like(f.s))
+        mu = jnp.clip(
+            jnp.float32(sc.mu_sigma) * tot / jnp.maximum(cnt, 1.0),
+            jnp.float32(sc.mu_min),
+            jnp.float32(sc.mu_init),
+        )
+
+        # --- cost derivatives + condensation -----------------------------
+        ct = jnp.cos(thv[:-1])
+        st = jnp.sin(thv[:-1])
+        gxc = 2.0 * gm * w0 * (xv - gx_)
+        gyc = 2.0 * gm * w1 * (yv - gy_)
+        gthc = 2.0 * gm * w2 * (thv - gth_)
+        Hx0 = 2.0 * gm * w0 * jnp.ones_like(xv)
+        Hx1 = 2.0 * gm * w1 * jnp.ones_like(xv)
+        Hx2 = 2.0 * gm * w2 * jnp.ones_like(xv)
+        negm = (vv < 0.0).astype(xv.dtype)
+        posm = (vv > 0.0).astype(xv.dtype)
+        if cc.reverse_penalty_mode == "squared":
+            gv = 2.0 * w_neg * jnp.minimum(vv, 0.0)
+            Hv = 2.0 * w_neg * negm
+        else:
+            gv = w_neg * negm
+            Hv = jnp.zeros_like(vv)
+        gv = gv + 2.0 * w_pos * jnp.maximum(vv, 0.0)
+        Hv = Hv + 2.0 * w_pos * posm
+        gw = 2.0 * w_ang * wv
+        Hw = 2.0 * w_ang * jnp.ones_like(wv)
+
+        g_vl, sig_vl = _grad_coef(fams["vl"], mu)
+        g_vu, sig_vu = _grad_coef(fams["vu"], mu)
+        g_wl, sig_wl = _grad_coef(fams["wl"], mu)
+        g_wu, sig_wu = _grad_coef(fams["wu"], mu)
+        qv = gv - g_vl + g_vu
+        qw = gw - g_wl + g_wu
+        Qv = Hv + sig_vl + sig_vu + reg
+        Qw = Hw + sig_wl + sig_wu + reg
+
+        qx = [gxc, gyc, gthc]
+        Qd = [Hx0, Hx1, Hx2]
+        for i in range(3):
+            g_l, s_l = _grad_coef(fams[f"xl{i}"], mu)
+            g_u, s_u = _grad_coef(fams[f"xu{i}"], mu)
+            qx[i] = qx[i] - g_l + g_u
+            Qd[i] = Qd[i] + s_l + s_u
+        Qxy = jnp.zeros_like(vv)  # (x, y) off-diagonal, rows 1..N only
+        if K > 0:
+            addx = jnp.zeros_like(vv)
+            addy = jnp.zeros_like(vv)
+            a00 = jnp.zeros_like(vv)
+            a01 = jnp.zeros_like(vv)
+            a11 = jnp.zeros_like(vv)
+            for k in range(K):
+                fk = fams[f"ob{k}"]
+                g_o, sig_o = _grad_coef(fk, mu)
+                _, nxk, nyk, dsafe = obsv[k]
+                addx = addx - nxk * g_o
+                addy = addy - nyk * g_o
+                h00 = sig_o * nxk * nxk
+                h01 = sig_o * nxk * nyk
+                h11 = sig_o * nyk * nyk
+                if sc.obstacle_curvature:
+                    wc = jnp.maximum(
+                        -fk.mask * fk.nu / dsafe, -0.9 * sig_o
+                    )
+                    h00 = h00 + wc * (1.0 - nxk * nxk)
+                    h01 = h01 - wc * nxk * nyk
+                    h11 = h11 + wc * (1.0 - nyk * nyk)
+                a00 = a00 + h00
+                a01 = a01 + h01
+                a11 = a11 + h11
+            qx[0] = qx[0].at[1:].add(addx)
+            qx[1] = qx[1].at[1:].add(addy)
+            Qd[0] = Qd[0].at[1:].add(a00)
+            Qd[1] = Qd[1].at[1:].add(a11)
+            Qxy = a01
+        Qd = [q + reg for q in Qd]
+
+        # --- dynamics ------------------------------------------------------
+        a02 = -vv * st * dt
+        a12 = vv * ct * dt
+        b00 = ct * dt
+        b10 = st * dt
+        d0r = xv[:-1] + vv * ct * dt - xv[1:]
+        d1r = yv[:-1] + vv * st * dt - yv[1:]
+        d2r = thv[:-1] + wv * dt - thv[1:]
+        pin0 = x0p - xv[0:1]
+        pin1 = y0p - yv[0:1]
+        pin2 = th0p - thv[0:1]
+
+        # Stage per-time quantities into VMEM so the sequential sweeps can
+        # index rows dynamically (Mosaic has no dynamic_slice on *values*).
+        # Layout: slot s occupies rows [s*T1, s*T1 + len).
+        _ST = {
+            "a02": (0, a02), "a12": (1, a12), "b00": (2, b00),
+            "b10": (3, b10), "d0": (4, d0r), "d1": (5, d1r),
+            "d2": (6, d2r), "Qv": (7, Qv), "Qw": (8, Qw), "qv": (9, qv),
+            "qw": (10, qw), "Q0": (11, Qd[0]), "Q1": (12, Qd[1]),
+            "Q2": (13, Qd[2]), "qx0": (14, qx[0]), "qx1": (15, qx[1]),
+            "qx2": (16, qx[2]),
+        }
+        for slot, arr in _ST.values():
+            stage_ref[slot * T1 : slot * T1 + arr.shape[0]] = arr
+        if K > 0:
+            # Qxy shifted so that row t holds the off-diagonal of *state* t
+            # (zero at t=0): rows 1..N <- Qxy[0..N-1].
+            stage_ref[17 * T1 : 17 * T1 + 1] = jnp.zeros_like(Qxy[:1])
+            stage_ref[17 * T1 + 1 : 17 * T1 + 1 + N] = Qxy
+
+        def _row(slot, t):
+            return stage_ref[pl.ds(slot * T1 + t, 1)]  # [1, BT]
+
+        # --- backward Riccati (specialized, sequential in t) ---------------
+        def bwd(tr, carry):
+            t = N - 1 - tr
+            (P00, P01, P02, P11, P12, P22, p0, p1, p2,
+             l0, l1, l2, lmax) = carry
+            a02t = _row(0, t)
+            a12t = _row(1, t)
+            b00t = _row(2, t)
+            b10t = _row(3, t)
+            d0t = _row(4, t)
+            d1t = _row(5, t)
+            d2t = _row(6, t)
+            Qvt = _row(7, t)
+            Qwt = _row(8, t)
+            qvt = _row(9, t)
+            qwt = _row(10, t)
+            Q0t = _row(11, t)
+            Q1t = _row(12, t)
+            Q2t = _row(13, t)
+            qx0t = _row(14, t)
+            qx1t = _row(15, t)
+            qx2t = _row(16, t)
+            Qxyt = _row(17, t) if K > 0 else 0.0
+
+            # Pa = P @ a, a = (a02, a12, 1)
+            Pa0 = P00 * a02t + P01 * a12t + P02
+            Pa1 = P01 * a02t + P11 * a12t + P12
+            Pa2 = P02 * a02t + P12 * a12t + P22
+            # Pd_p = P @ d + p
+            Pd0 = P00 * d0t + P01 * d1t + P02 * d2t + p0
+            Pd1 = P01 * d0t + P11 * d1t + P12 * d2t + p1
+            Pd2 = P02 * d0t + P12 * d1t + P22 * d2t + p2
+            # B' P B (2x2 sym)
+            PB00 = b00t * P00 + b10t * P01  # (P B)[0,0]
+            PB01 = b00t * P01 + b10t * P11
+            PB02 = b00t * P02 + b10t * P12
+            e00 = b00t * PB00 + b10t * PB01
+            e01 = dt * PB02
+            e11 = dt * dt * P22
+            Quu00 = Qvt + e00
+            Quu01 = e01
+            Quu11 = Qwt + e11
+            # Qux = B' P A  (2x3): row0 = b.col0' PA cols; row1 = dt * P row2
+            Qux00 = PB00
+            Qux01 = PB01
+            Qux02 = b00t * Pa0 + b10t * Pa1
+            Qux10 = dt * P02
+            Qux11 = dt * P12
+            Qux12 = dt * Pa2
+            qu0 = qvt + b00t * Pd0 + b10t * Pd1
+            qu1 = qwt + dt * Pd2
+            det = Quu00 * Quu11 - Quu01 * Quu01
+            inv = 1.0 / det
+            i00 = Quu11 * inv
+            i01 = -Quu01 * inv
+            i11 = Quu00 * inv
+            K00 = -(i00 * Qux00 + i01 * Qux10)
+            K01 = -(i00 * Qux01 + i01 * Qux11)
+            K02 = -(i00 * Qux02 + i01 * Qux12)
+            K10 = -(i01 * Qux00 + i11 * Qux10)
+            K11 = -(i01 * Qux01 + i11 * Qux11)
+            K12 = -(i01 * Qux02 + i11 * Qux12)
+            k0 = -(i00 * qu0 + i01 * qu1)
+            k1 = -(i01 * qu0 + i11 * qu1)
+            # store gains
+            kk_ref[pl.ds(0 * N + t, 1)] = K00
+            kk_ref[pl.ds(1 * N + t, 1)] = K01
+            kk_ref[pl.ds(2 * N + t, 1)] = K02
+            kk_ref[pl.ds(3 * N + t, 1)] = K10
+            kk_ref[pl.ds(4 * N + t, 1)] = K11
+            kk_ref[pl.ds(5 * N + t, 1)] = K12
+            kk_ref[pl.ds(6 * N + t, 1)] = k0
+            kk_ref[pl.ds(7 * N + t, 1)] = k1
+            # A' P A: [[P00, P01, Pa0], [P01, P11, Pa1], [Pa0, Pa1, a'Pa]]
+            aPa = a02t * Pa0 + a12t * Pa1 + Pa2
+            # S = Qux' K  (3x3)
+            S00 = Qux00 * K00 + Qux10 * K10
+            S01 = Qux00 * K01 + Qux10 * K11
+            S02 = Qux00 * K02 + Qux10 * K12
+            S10 = Qux01 * K00 + Qux11 * K10
+            S11 = Qux01 * K01 + Qux11 * K11
+            S12 = Qux01 * K02 + Qux11 * K12
+            S20 = Qux02 * K00 + Qux12 * K10
+            S21 = Qux02 * K01 + Qux12 * K11
+            S22 = Qux02 * K02 + Qux12 * K12
+            nP00 = Q0t + P00 + S00
+            nP01 = Qxyt + P01 + 0.5 * (S01 + S10)
+            nP02 = Pa0 + 0.5 * (S02 + S20)
+            nP11 = Q1t + P11 + S11
+            nP12 = Pa1 + 0.5 * (S12 + S21)
+            nP22 = Q2t + aPa + S22
+            # p' = qx + A'(Pd + p) + Qux' k
+            np0 = qx0t + Pd0 + Qux00 * k0 + Qux10 * k1
+            np1 = qx1t + Pd1 + Qux01 * k0 + Qux11 * k1
+            np2 = (
+                qx2t
+                + a02t * Pd0
+                + a12t * Pd1
+                + Pd2
+                + Qux02 * k0
+                + Qux12 * k1
+            )
+            # adjoint multiplier estimate: lam_t = qx_t + A_t' lam_{t+1}
+            # (A' v = [v0, v1, a.v] with a = (a02, a12, 1)); its running max
+            # feeds the l1 penalty weight rho (must dominate the dynamics
+            # multipliers or the merit rejects the Newton direction for
+            # far-goal problems).
+            nl0 = qx0t + l0
+            nl1 = qx1t + l1
+            nl2 = qx2t + a02t * l0 + a12t * l1 + l2
+            nlmax = jnp.maximum(
+                lmax,
+                jnp.maximum(
+                    jnp.abs(nl0), jnp.maximum(jnp.abs(nl1), jnp.abs(nl2))
+                ),
+            )
+            return (nP00, nP01, nP02, nP11, nP12, nP22, np0, np1, np2,
+                    nl0, nl1, nl2, nlmax)
+
+        # terminal value: stage-N Hessian (diag + xy off-diag) and gradient
+        QxyN = Qxy[N - 1 : N] if K > 0 else jnp.zeros_like(x0p)
+        lamN_abs = jnp.maximum(
+            jnp.abs(qx[0][N : N + 1]),
+            jnp.maximum(jnp.abs(qx[1][N : N + 1]), jnp.abs(qx[2][N : N + 1])),
+        )
+        carry0 = (
+            Qd[0][N : N + 1], QxyN, jnp.zeros_like(x0p),
+            Qd[1][N : N + 1], jnp.zeros_like(x0p), Qd[2][N : N + 1],
+            qx[0][N : N + 1], qx[1][N : N + 1], qx[2][N : N + 1],
+            qx[0][N : N + 1], qx[1][N : N + 1], qx[2][N : N + 1],
+            lamN_abs,
+        )
+        bwd_out = jax.lax.fori_loop(0, N, bwd, carry0)
+        lam_max = bwd_out[-1]
+
+        # --- forward rollout ------------------------------------------------
+        def fwd(t, dxc):
+            dx0, dx1, dx2 = dxc
+            K00 = kk_ref[pl.ds(0 * N + t, 1)]
+            K01 = kk_ref[pl.ds(1 * N + t, 1)]
+            K02 = kk_ref[pl.ds(2 * N + t, 1)]
+            K10 = kk_ref[pl.ds(3 * N + t, 1)]
+            K11 = kk_ref[pl.ds(4 * N + t, 1)]
+            K12 = kk_ref[pl.ds(5 * N + t, 1)]
+            k0 = kk_ref[pl.ds(6 * N + t, 1)]
+            k1 = kk_ref[pl.ds(7 * N + t, 1)]
+            du0 = K00 * dx0 + K01 * dx1 + K02 * dx2 + k0
+            du1 = K10 * dx0 + K11 * dx1 + K12 * dx2 + k1
+            dus_ref[pl.ds(t, 1)] = du0
+            dus_ref[pl.ds(N + t, 1)] = du1
+            a02t = _row(0, t)
+            a12t = _row(1, t)
+            b00t = _row(2, t)
+            b10t = _row(3, t)
+            d0t = _row(4, t)
+            d1t = _row(5, t)
+            d2t = _row(6, t)
+            ndx0 = dx0 + a02t * dx2 + b00t * du0 + d0t
+            ndx1 = dx1 + a12t * dx2 + b10t * du0 + d1t
+            ndx2 = dx2 + dt * du1 + d2t
+            dxs_ref[pl.ds(t + 1, 1)] = ndx0
+            dxs_ref[pl.ds(T1 + t + 1, 1)] = ndx1
+            dxs_ref[pl.ds(2 * T1 + t + 1, 1)] = ndx2
+            return (ndx0, ndx1, ndx2)
+
+        dxs_ref[pl.ds(0, 1)] = pin0
+        dxs_ref[pl.ds(T1, 1)] = pin1
+        dxs_ref[pl.ds(2 * T1, 1)] = pin2
+        jax.lax.fori_loop(0, N, fwd, (pin0, pin1, pin2))
+
+        ddx = dxs_ref[0:T1]
+        ddy = dxs_ref[T1 : 2 * T1]
+        ddth = dxs_ref[2 * T1 : 3 * T1]
+        ddv = dus_ref[0:N]
+        ddw = dus_ref[N : 2 * N]
+
+        # --- slack / dual steps --------------------------------------------
+        def steps(f: _Fam, jdz):
+            ds = f.mask * (jdz + f.c - f.s)
+            sig = _sigma(f)
+            dnu = f.mask * (
+                mu / jnp.maximum(f.s, _F32_FLOOR) - f.nu - sig * ds
+            )
+            return ds, dnu
+
+        jdz_map = {
+            "vl": ddv, "vu": -ddv, "wl": ddw, "wu": -ddw,
+            "xl0": ddx, "xu0": -ddx, "xl1": ddy, "xu1": -ddy,
+            "xl2": ddth, "xu2": -ddth,
+        }
+        if K > 0:
+            for k in range(K):
+                _, nxk, nyk, _ = obsv[k]
+                jdz_map[f"ob{k}"] = nxk * ddx[1:] + nyk * ddy[1:]
+        deltas = {nm: steps(fams[nm], jdz_map[nm]) for nm in fams}
+
+        tau = jnp.float32(sc.tau)
+        alpha_s = jnp.ones_like(x0p)
+        alpha_nu = jnp.ones_like(x0p)
+        for nm, f in fams.items():
+            ds, dnu = deltas[nm]
+            alpha_s = jnp.minimum(alpha_s, _ftb(f.s, ds, tau))
+            alpha_nu = jnp.minimum(alpha_nu, _ftb(f.nu, dnu, tau))
+
+        # rho: l1 penalty must dominate the multipliers
+        nu_max = jnp.zeros_like(x0p)
+        for f in fams.values():
+            nu_max = jnp.maximum(nu_max, _reduce_max(f.mask * f.nu))
+        rho = jnp.maximum(
+            jnp.float32(sc.merit_penalty),
+            2.0 * jnp.maximum(nu_max, lam_max),
+        )
+
+        # --- merit line search ---------------------------------------------
+        def merit_at(alpha):
+            txv = xv + alpha * ddx
+            tyv = yv + alpha * ddy
+            tthv = thv + alpha * ddth
+            tvv = vv + alpha * ddv
+            twv = wv + alpha * ddw
+            obj, eq, _ = merit_terms(txv, tyv, tthv, tvv, twv)
+            tcv, tcxl, tcxu, tobs = families(txv, tyv, tthv, tvv, twv)
+            tfams_c = {
+                "vl": tcv[0], "vu": tcv[1], "wl": tcv[2], "wu": tcv[3],
+                "xl0": tcxl[0], "xl1": tcxl[1], "xl2": tcxl[2],
+                "xu0": tcxu[0], "xu1": tcxu[1], "xu2": tcxu[2],
+            }
+            if K > 0:
+                for k in range(K):
+                    tfams_c[f"ob{k}"] = tobs[k][0]
+            log_term = jnp.zeros_like(x0p)
+            consist = jnp.zeros_like(x0p)
+            for nm, f in fams.items():
+                ds, _ = deltas[nm]
+                ts = f.s + alpha * ds
+                log_term = log_term + _reduce_sum(
+                    f.mask * jnp.log(jnp.maximum(ts, 1e-30))
+                )
+                consist = consist + _reduce_sum(
+                    f.mask * jnp.abs(tfams_c[nm] - ts)
+                )
+            return obj - mu * log_term + rho * (eq + consist)
+
+        merit0 = merit_at(jnp.zeros_like(x0p))
+        step_inf = jnp.zeros_like(x0p)
+        for dzz in (ddx, ddy, ddth, ddv, ddw):
+            step_inf = jnp.maximum(step_inf, _reduce_max(jnp.abs(dzz)))
+        eps32 = jnp.float32(1.1920929e-07)
+        tol = 16.0 * eps32 * (1.0 + jnp.abs(merit0)) + jnp.where(
+            step_inf < 1e-4, 10.0 * rho * step_inf * step_inf, 0.0
+        )
+
+        def ls(j, carry):
+            # all-f32 carry: Mosaic mishandles i1 vectors in loop carries;
+            # candidate alpha via multiplicative carry (no powf in Mosaic)
+            alpha_best, found, n_rej, aj = carry
+            m = merit_at(aj)
+            ok = (
+                jnp.isfinite(m) & (m <= merit0 + tol)
+            ).astype(jnp.float32)
+            take = ok * (1.0 - found)
+            alpha_best = take * aj + (1.0 - take) * alpha_best
+            found = jnp.maximum(found, ok)
+            n_rej = n_rej + (1.0 - found)
+            return alpha_best, found, n_rej, aj * jnp.float32(sc.ls_backtrack)
+
+        alpha_min = alpha_s * jnp.float32(
+            float(sc.ls_backtrack) ** (sc.ls_iters - 1)
+        )
+        alpha_best, found, n_rej, _ = jax.lax.fori_loop(
+            0, sc.ls_iters, ls,
+            (alpha_min, jnp.zeros_like(x0p), jnp.zeros_like(x0p), alpha_s),
+        )
+        alpha = alpha_best
+        alpha_nu = jnp.minimum(alpha_nu, alpha)
+
+        # --- apply updates -------------------------------------------------
+        x_ref[:] = xv + alpha * ddx
+        y_ref[:] = yv + alpha * ddy
+        th_ref[:] = thv + alpha * ddth
+        v_ref[:] = vv + alpha * ddv
+        w_ref[:] = wv + alpha * ddw
+
+        def clamp(nu_new, s_new, mask):
+            center = mu / jnp.maximum(s_new, _F32_FLOOR)
+            return mask * jnp.clip(nu_new, center / _KAPPA, center * _KAPPA)
+
+        names_c = ("vl", "vu", "wl", "wu")
+        for blk, nm in enumerate(names_c):
+            f = fams[nm]
+            ds, dnu = deltas[nm]
+            s_new = f.s + alpha * ds
+            s_c_ref[blk * N : (blk + 1) * N] = s_new
+            nu_c_ref[blk * N : (blk + 1) * N] = clamp(
+                f.nu + alpha_nu * dnu, s_new, f.mask
+            )
+        for i in range(3):
+            for lo, nm in ((True, f"xl{i}"), (False, f"xu{i}")):
+                f = fams[nm]
+                ds, dnu = deltas[nm]
+                s_new = f.s + alpha * ds
+                base = i * T1 if lo else (3 + i) * T1
+                s_x_ref[base : base + T1] = s_new
+                nu_x_ref[base : base + T1] = clamp(
+                    f.nu + alpha_nu * dnu, s_new, f.mask
+                )
+        if K > 0:
+            for k in range(K):
+                f = fams[f"ob{k}"]
+                ds, dnu = deltas[f"ob{k}"]
+                s_new = f.s + alpha * ds
+                s_ob_ref[k * N : (k + 1) * N] = s_new
+                nu_ob_ref[k * N : (k + 1) * N] = clamp(
+                    f.nu + alpha_nu * dnu, s_new, f.mask
+                )
+
+        grow = (found < 0.5) | (n_rej >= 4.0)
+        reg_new = jnp.where(
+            grow,
+            jnp.minimum(jnp.maximum(reg, jnp.float32(sc.reg)) * 8.0, 1e8),
+            jnp.maximum(reg / 3.0, jnp.float32(sc.reg)),
+        )
+        return reg_new
+
+    reg0 = jnp.full_like(x0p, jnp.float32(sc.reg))
+    jax.lax.fori_loop(0, sc.iterations, body, reg0)
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _pad_batch(x, b_padded):
+    pad = b_padded - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+    )
+
+
+def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
+                      interpret: bool = False, bt: int = BT):
+    """Solve a batched Problem with the fused IPM kernel.
+
+    Returns a `Solution` (diagnostics computed in jnp from the kernel's
+    final slacks/duals — one cheap pass).  Leaves of ``problems`` have a
+    leading batch axis B.  f32 path.
+    """
+    from ...solver import ipm as ipm_mod
+    from ...solver.problem import Solution
+
+    N = cfg.horizon
+    K = cfg.max_obstacles
+    T1 = N + 1
+    B = problems.initial_state.shape[0]
+    Bp = ((B + bt - 1) // bt) * bt
+    f32 = jnp.float32
+
+    def sm(x):  # [B, rows...] -> [rows, Bp] scenario-major f32
+        x = _pad_batch(jnp.asarray(x, f32), Bp)
+        return x.reshape(Bp, -1).T
+
+    fin = lambda b: jnp.isfinite(b).astype(f32)
+    safe = lambda b: jnp.where(jnp.isfinite(b), b, 0.0)
+    scal = jnp.concatenate(
+        [
+            sm(problems.initial_state),  # 3
+            sm(problems.goal_state),  # 3
+            sm(safe(problems.control_lower[..., 0:1])),
+            sm(safe(problems.control_upper[..., 0:1])),
+            sm(safe(problems.control_lower[..., 1:2])),
+            sm(safe(problems.control_upper[..., 1:2])),
+            sm(fin(problems.control_lower[..., 0:1])),
+            sm(fin(problems.control_upper[..., 0:1])),
+            sm(fin(problems.control_lower[..., 1:2])),
+            sm(fin(problems.control_upper[..., 1:2])),
+            sm(safe(problems.state_lower)),  # 3
+            sm(safe(problems.state_upper)),  # 3
+            sm(fin(problems.state_lower)),  # 3
+            sm(fin(problems.state_upper)),  # 3
+        ],
+        axis=0,
+    )  # [26, Bp]
+    warm = jnp.concatenate(
+        [
+            sm(problems.warm_states[..., 0]),  # T1
+            sm(problems.warm_states[..., 1]),
+            sm(problems.warm_states[..., 2]),
+            sm(problems.warm_controls[..., 0]),  # N
+            sm(problems.warm_controls[..., 1]),
+        ],
+        axis=0,
+    )
+    if K > 0:
+        tx = sm(problems.obstacle_centers[..., 0])  # [K*N, Bp]
+        ty = sm(problems.obstacle_centers[..., 1])
+        obinfo = jnp.concatenate(
+            [
+                sm(problems.obstacle_radii),  # K
+                sm(problems.obstacle_mask),  # K
+                sm(problems.inflation_radius.reshape(B, 1)
+                   if problems.inflation_radius.ndim else
+                   jnp.broadcast_to(problems.inflation_radius, (B, 1))),
+            ],
+            axis=0,
+        )
+        kn = K * N
+    else:
+        tx = jnp.zeros((1, Bp), f32)
+        ty = jnp.zeros((1, Bp), f32)
+        obinfo = jnp.zeros((1, Bp), f32)
+        kn = 1
+
+    grid = (Bp // bt,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, bt), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(ipm_fused_kernel, cfg)
+    out_rows = [T1, T1, T1, N, N, 4 * N, 4 * N, 6 * T1, 6 * T1, kn, kn]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(26), spec(3 * T1 + 2 * N), spec(kn), spec(kn),
+                  spec(obinfo.shape[0])],
+        out_specs=[spec(r) for r in out_rows],
+        out_shape=[jax.ShapeDtypeStruct((r, Bp), f32) for r in out_rows],
+        scratch_shapes=[
+            pltpu.VMEM((8 * N, bt), f32),
+            pltpu.VMEM((3 * T1, bt), f32),
+            pltpu.VMEM((2 * N, bt), f32),
+            pltpu.VMEM((18 * T1, bt), f32),
+        ],
+        interpret=interpret,
+    )(scal, warm, tx, ty, obinfo)
+
+    (x, y, th, v, w, s_c, nu_c, s_x, nu_x, s_ob, nu_ob) = outs
+    bm = lambda a: a.T[:B]  # [rows, Bp] -> [B, rows]
+    states = jnp.stack([bm(x), bm(y), bm(th)], axis=-1)  # [B, T1, 3]
+    controls = jnp.stack([bm(v), bm(w)], axis=-1)  # [B, N, 2]
+
+    # Rebuild an IPMState and reuse the jnp diagnostics (one cheap pass).
+    def unpack_c(a, blk):
+        return bm(a[blk * N : (blk + 1) * N])
+
+    def unpack_x(a, blk):
+        return bm(a[blk * T1 : (blk + 1) * T1])
+
+    s_cl = jnp.stack([unpack_c(s_c, 0), unpack_c(s_c, 2)], axis=-1)
+    s_cu = jnp.stack([unpack_c(s_c, 1), unpack_c(s_c, 3)], axis=-1)
+    nu_cl = jnp.stack([unpack_c(nu_c, 0), unpack_c(nu_c, 2)], axis=-1)
+    nu_cu = jnp.stack([unpack_c(nu_c, 1), unpack_c(nu_c, 3)], axis=-1)
+    s_xl = jnp.stack([unpack_x(s_x, i) for i in range(3)], axis=-1)
+    s_xu = jnp.stack([unpack_x(s_x, 3 + i) for i in range(3)], axis=-1)
+    nu_xl = jnp.stack([unpack_x(nu_x, i) for i in range(3)], axis=-1)
+    nu_xu = jnp.stack([unpack_x(nu_x, 3 + i) for i in range(3)], axis=-1)
+    if K > 0:
+        s_ob_b = jnp.stack(
+            [bm(s_ob[k * N : (k + 1) * N]) for k in range(K)], axis=-1
+        )
+        nu_ob_b = jnp.stack(
+            [bm(nu_ob[k * N : (k + 1) * N]) for k in range(K)], axis=-1
+        )
+    else:
+        s_ob_b = jnp.ones((B, N, 0), f32)
+        nu_ob_b = jnp.zeros((B, N, 0), f32)
+
+    def diag_one(states_i, controls_i, it_fields, problem_i):
+        it = ipm_mod.IPMState(
+            states_i, controls_i, *it_fields, jnp.zeros((), f32)
+        )
+        masks = ipm_mod._constraint_masks(cfg, problem_i, f32)
+        mu = ipm_mod._adaptive_mu(cfg, it, masks, f32)
+        return ipm_mod._diagnostics(cfg, problem_i, it, mu)
+
+    diag = jax.vmap(diag_one)(
+        states, controls,
+        (s_cl, s_cu, s_xl, s_xu, s_ob_b, nu_cl, nu_cu, nu_xl, nu_xu,
+         nu_ob_b),
+        problems,
+    )
+    return Solution(states=states, controls=controls, diagnostics=diag)

@@ -355,10 +355,14 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
     # Parallel backtracking line search on the l1 merit.
     alphas = alpha_s * (sc.ls_backtrack ** jnp.arange(sc.ls_iters, dtype=it.states.dtype))
 
-    # l1 exact-penalty weight: must exceed the multiplier norm or the Newton
-    # direction (which trades objective against feasibility at the *duals'*
-    # exchange rate) is not a descent direction of the merit and the solver
-    # deadlocks at infeasible points.
+    # l1 exact-penalty weight: must exceed the norm of *all* constraint
+    # multipliers or the Newton direction (which trades objective against
+    # feasibility at the duals' exchange rate) is not a descent direction of
+    # the merit and the solver deadlocks at infeasible points.  That
+    # includes the dynamics-equality multipliers lambda — for far goals
+    # their magnitude (an adjoint sum of goal gradients over the horizon)
+    # dwarfs the inequality duals; estimate them with one adjoint sweep of
+    # the condensed gradients.
     nu_max = jnp.zeros((), it.states.dtype)
     for v, mask in (
         (it.nu_cl, m.cl), (it.nu_cu, m.cu), (it.nu_xl, m.xl),
@@ -366,7 +370,21 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
     ):
         if v.size:
             nu_max = jnp.maximum(nu_max, jnp.max(mask * v))
-    rho = jnp.maximum(jnp.asarray(sc.merit_penalty, it.states.dtype), 2.0 * nu_max)
+
+    def adj(lam, inputs):
+        A_t, qx_t = inputs
+        lam_new = qx_t + A_t.T @ lam
+        return lam_new, jnp.max(jnp.abs(lam_new))
+
+    lam_N = data.qx[-1]
+    _, lam_maxes = jax.lax.scan(
+        adj, lam_N, (data.A, data.qx[:-1]), reverse=True
+    )
+    lam_max = jnp.maximum(jnp.max(lam_maxes), jnp.max(jnp.abs(lam_N)))
+    rho = jnp.maximum(
+        jnp.asarray(sc.merit_penalty, it.states.dtype),
+        2.0 * jnp.maximum(nu_max, lam_max),
+    )
 
     def merit_at(alpha):
         new_states = it.states + alpha * dx

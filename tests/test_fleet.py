@@ -88,3 +88,40 @@ def test_graft_entry_single():
     sol = jax.jit(fn)(*args)
     jax.block_until_ready(sol)
     assert sol.controls.shape[0] == 8
+
+
+def test_pod_mesh_2d_cpu():
+    # 8 CPU devices as a (2 hosts x 4 chips) grid exercises the 2-D layout
+    # without a pod (process_count == 1 here, so build the grid manually).
+    from jax.sharding import Mesh
+
+    from kissmpc_tpu.parallel import multihost
+
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, ("host", "chip"))
+    sharding = multihost.batch_sharding(mesh)
+    x = jax.device_put(jnp.arange(32.0), sharding)
+    assert float(jax.jit(jnp.sum)(x)) == 496.0
+    assert multihost.health_check(mesh)
+
+
+def test_fleet_solver_on_2d_mesh():
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    cfg = MPCConfig(horizon=8, time_step=0.1)
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, ("host", "chip"))
+    problems = _problems(cfg, 16)
+    sharded = jax.tree.map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, P(("host", "chip")))
+        ),
+        problems,
+    )
+    fleet = make_fleet_solver(cfg, mesh, axis_name=("host", "chip"))
+    sol, metrics = fleet(sharded)
+    ref = make_batch_solver(cfg)(problems)
+    np.testing.assert_allclose(
+        np.asarray(sol.controls), np.asarray(ref.controls), atol=1e-10
+    )
+    assert float(metrics.converged_fraction) > 0.9

@@ -1,0 +1,85 @@
+"""Fused IPM megakernel vs the jnp solver path (interpret mode on CPU).
+
+The kernel implements the identical algorithm; small f32 op-order drift is
+expected, so controls are compared within the parity budget (1e-3) and
+solutions are additionally checked against problem physics.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kissmpc_tpu import MPCConfig, default_problem, problem_with_obstacles
+from kissmpc_tpu.obstacles import static_set
+from kissmpc_tpu.ops.pallas.ipm_fused import solve_batch_fused
+from kissmpc_tpu.solver import ipm
+
+
+def _batch_problems(cfg, pairs):
+    ps = [
+        default_problem(
+            cfg, jnp.asarray(s, jnp.float32), jnp.asarray(g, jnp.float32),
+            dtype=jnp.float32,
+        )
+        for s, g in pairs
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+
+
+def test_fused_matches_jnp_no_obstacles():
+    cfg = MPCConfig(horizon=12, time_step=0.1)
+    pairs = [
+        ((0.0, 0.0, 0.0), (1.0, 0.4, 0.0)),
+        ((0.2, -0.3, 1.0), (0.8, 0.6, 0.5)),
+        ((0.0, 0.0, -2.0), (-0.5, 0.5, 0.0)),
+    ]
+    problems = _batch_problems(cfg, pairs)
+    ref = jax.vmap(functools.partial(ipm.solve, cfg))(problems)
+    fused = solve_batch_fused(cfg, problems, interpret=True, bt=8)
+    err = np.max(np.abs(np.asarray(fused.controls) - np.asarray(ref.controls)))
+    assert err <= 1e-3, f"fused vs jnp max control diff {err:.2e}"
+    # convergence agreement
+    assert bool(jnp.all(fused.diagnostics.converged)), (
+        np.asarray(fused.diagnostics.kkt_stationarity),
+        np.asarray(fused.diagnostics.kkt_feasibility),
+    )
+
+
+def test_fused_matches_jnp_with_obstacles():
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
+    obs = static_set(
+        [[0.6, 0.05], [2.5, 2.5]], [0.2, 0.2], max_obstacles=2,
+        dtype=jnp.float32,
+    )
+    ps = []
+    for s, g in [((0.0, 0.0, 0.0), (1.2, 0.1, 0.0)),
+                 ((0.0, -0.4, 0.5), (1.2, 0.3, 0.0))]:
+        ps.append(
+            problem_with_obstacles(
+                cfg, jnp.asarray(s, jnp.float32), jnp.asarray(g, jnp.float32),
+                obs, inflation_radius=0.25, dtype=jnp.float32,
+            )
+        )
+    problems = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    ref = jax.vmap(functools.partial(ipm.solve, cfg))(problems)
+    fused = solve_batch_fused(cfg, problems, interpret=True, bt=8)
+    err = np.max(np.abs(np.asarray(fused.controls) - np.asarray(ref.controls)))
+    assert err <= 2e-3, f"fused vs jnp max control diff {err:.2e}"
+    # clearance holds on the fused path
+    p = np.asarray(fused.states)[:, 1:, :2]
+    d = np.linalg.norm(p - np.array([0.6, 0.05]), axis=-1) - 0.2
+    assert np.min(d) >= 0.25 - 1e-3
+
+
+def test_fused_bound_activity():
+    cfg = MPCConfig(horizon=15, time_step=0.1)
+    problems = _batch_problems(
+        cfg, [((0.0, 0.0, 0.0), (30.0, 0.0, 0.0))]
+    )
+    fused = solve_batch_fused(cfg, problems, interpret=True, bt=8)
+    v = np.asarray(fused.controls[0, :, 0])
+    assert np.all(v <= 0.5 + 1e-5)
+    assert np.max(v) > 0.5 - 1e-3
