@@ -21,6 +21,11 @@ BASELINE_SOLVES_PER_SEC = 1.0 / 0.041  # implied reference budget (24.39 Hz)
 
 def main():
     import jax
+
+    # Persistent compilation cache: repeated bench runs (driver, CI) skip the
+    # multi-minute remote compile.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kissmpc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from kissmpc_tpu import MPCConfig

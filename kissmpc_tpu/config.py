@@ -79,12 +79,25 @@ class SolverConfig:
     # Include the exact curvature term of the obstacle distance constraint
     # ((I - n n^T)/dist weighted by the constraint dual) in the stage Hessian.
     obstacle_curvature: bool = True
+    # Elastic obstacle constraints (SNOPT-style): c(z) + e - s = 0 with
+    # e >= 0 and linear penalty elastic_penalty * e in the objective.  The
+    # NLP is then always feasible: infeasible geometry yields bounded duals
+    # (nu <= elastic_penalty) and graceful violation instead of a merit
+    # deadlock, while feasible problems recover the exact hard-constrained
+    # optimum (e -> 0) whenever elastic_penalty exceeds the true multiplier.
+    elastic_obstacles: bool = False
+    elastic_penalty: float = 1e4
     # KKT tolerance used only to *report* convergence (never for control flow).
     kkt_tol: float = 1e-6
     # Newton-KKT engine for *batched* solves: "auto" uses the scenario-major
     # Pallas Riccati kernel on TPU and the vmapped XLA scan elsewhere;
     # "xla" / "pallas" force a backend.  Unbatched solves always use XLA.
     lqr_backend: str = "auto"
+    # Batched-solve strategy: "split" = XLA iteration loop around the Pallas
+    # Riccati kernel (compiles in ~1 min); "fused" = the whole IPM loop as
+    # one Pallas megakernel (~15% faster steady-state, but Mosaic compile
+    # takes ~20 min on v5e — opt in for long-running fleets).
+    solve_backend: str = "split"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -355,10 +355,14 @@ def ipm_fused_kernel(
                 a00 = a00 + h00
                 a01 = a01 + h01
                 a11 = a11 + h11
-            qx[0] = qx[0].at[1:].add(addx)
-            qx[1] = qx[1].at[1:].add(addy)
-            Qd[0] = Qd[0].at[1:].add(a00)
-            Qd[1] = Qd[1].at[1:].add(a11)
+            # no scatter-add in Mosaic: concatenate the untouched row 0
+            cat = lambda base, add: jnp.concatenate(
+                [base[:1], base[1:] + add], axis=0
+            )
+            qx[0] = cat(qx[0], addx)
+            qx[1] = cat(qx[1], addy)
+            Qd[0] = cat(Qd[0], a00)
+            Qd[1] = cat(Qd[1], a11)
             Qxy = a01
         Qd = [q + reg for q in Qd]
 
@@ -749,6 +753,10 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
     from ...solver import ipm as ipm_mod
     from ...solver.problem import Solution
 
+    assert not cfg.solver.elastic_obstacles, (
+        "elastic obstacle mode is implemented in the jnp path only; use "
+        "solve_backend='split'"
+    )
     N = cfg.horizon
     K = cfg.max_obstacles
     T1 = N + 1
@@ -868,7 +876,9 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
 
     def diag_one(states_i, controls_i, it_fields, problem_i):
         it = ipm_mod.IPMState(
-            states_i, controls_i, *it_fields, jnp.zeros((), f32)
+            states_i, controls_i, *it_fields,
+            jnp.ones_like(it_fields[4]),  # e_ob (fused path is non-elastic)
+            jnp.zeros((), f32),
         )
         masks = ipm_mod._constraint_masks(cfg, problem_i, f32)
         mu = ipm_mod._adaptive_mu(cfg, it, masks, f32)

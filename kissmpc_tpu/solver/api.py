@@ -29,7 +29,23 @@ def make_solver(cfg: MPCConfig):
 
 
 def make_batch_solver(cfg: MPCConfig):
-    """Compiled batched solver: Problem with leading axis [B] -> Solution [B]."""
+    """Compiled batched solver: Problem with leading axis [B] -> Solution [B].
+
+    ``cfg.solver.solve_backend == "fused"`` routes to the single-megakernel
+    path on TPU (see SolverConfig for the compile-time tradeoff).
+    """
+    use_fused = (
+        cfg.solver.solve_backend == "fused"
+        and jax.devices()[0].platform != "cpu"
+    )
+    if use_fused:
+        from ..ops.pallas.ipm_fused import solve_batch_fused
+
+        @jax.jit
+        def _solve_fused(problems: Problem) -> Solution:
+            return solve_batch_fused(cfg, problems)
+
+        return _solve_fused
 
     @jax.jit
     def _solve(problems: Problem) -> Solution:

@@ -100,6 +100,10 @@ class IPMState(NamedTuple):
     nu_xl: jax.Array
     nu_xu: jax.Array
     nu_ob: jax.Array
+    # Elastic variables for obstacle constraints (c + e - s = 0, e >= 0,
+    # linear penalty) — active only with SolverConfig.elastic_obstacles;
+    # otherwise carried as ones and ignored.
+    e_ob: jax.Array  # [N, K]
     # Adaptive Levenberg regularization (trust-region surrogate): grown when
     # the merit line search rejects the Newton step (linearization overshoot,
     # e.g. warm starts deep inside an obstacle), decayed on success so the
@@ -185,10 +189,21 @@ def _init_state(cfg: MPCConfig, problem: Problem) -> IPMState:
     s_xl, nu_xl = init_pair(c_xl, m.xl)
     s_xu, nu_xu = init_pair(c_xu, m.xu)
     s_ob, nu_ob = init_pair(c_ob, m.ob)
+    if cfg.solver.elastic_obstacles:
+        # central-ish elastic init: e solves c + e = s when violated, else
+        # sits at its barrier-central value mu/rho_e.
+        e_ob = jnp.where(
+            m.ob > 0,
+            jnp.maximum(s_ob - c_ob, mu0 / cfg.solver.elastic_penalty),
+            1.0,
+        )
+    else:
+        e_ob = jnp.ones_like(s_ob)
     return IPMState(
         states, controls,
         s_cl, s_cu, s_xl, s_xu, s_ob,
         nu_cl, nu_cu, nu_xl, nu_xu, nu_ob,
+        e_ob,
         reg=jnp.asarray(cfg.solver.reg, states.dtype),
     )
 
@@ -211,14 +226,48 @@ def _grad_coef(c, s, nu, mask, mu):
     return mask * (mu / jnp.maximum(s, floor) - sig * (c - s)), sig
 
 
+def _elastic_coef(c, s, nu, e, mask, mu, rho_e, dtype64):
+    """Condensed coefficients for an elastic inequality c + e - s = 0.
+
+    Eliminating (ds, de, dnu) from the primal-dual Newton system gives a
+    series-combined stiffness sigma_eff = (1/sigma_s + 1/sigma_e)^-1 with
+    sigma_s = nu/s and sigma_e = mu/e^2, and the z-row gradient coefficient
+
+        g = nu - sigma_eff*r_c + sigma_eff*(T/sigma_s + r_e/sigma_e)
+
+    with T = mu/s - nu, r_c = c + e - s, r_e = rho_e - mu/e - nu.  As
+    sigma_e -> inf (e pinned at 0) this reduces to the hard-constraint
+    coefficient mu/s - sigma_s*(c - s).
+    """
+    floor = 1e-14 if dtype64 else 1e-10
+    s_safe = jnp.maximum(s, floor)
+    e_safe = jnp.maximum(e, floor)
+    sig_s = _sigma(nu, s, mask)
+    sig_e = jnp.clip(mu / (e_safe * e_safe), 0.0, _sigma_max(s.dtype))
+    sig_eff = mask * sig_s * sig_e / jnp.maximum(sig_s + sig_e, floor)
+    T = mu / s_safe - nu
+    r_e = rho_e - mu / e_safe - nu
+    r_c = c + e - s
+    g = mask * (
+        nu
+        - sig_eff * r_c
+        + sig_eff * (T / jnp.maximum(sig_s, floor) + r_e / sig_e)
+    )
+    return g, sig_eff, (T, r_e, r_c, sig_s, sig_e)
+
+
 def _merit(cfg: MPCConfig, problem: Problem, states, controls, slacks, mu, rho):
     """l1 merit: barrier objective + rho * equality residuals.
 
     ``rho`` must dominate the multiplier norm for the Newton direction to be
     a descent direction of this merit (the classical l1 exact-penalty
-    condition); the caller adapts it to 2*max|nu| each iteration.
+    condition); the caller adapts it via inequality duals + dynamics
+    adjoints each iteration.  ``slacks`` = (s_cl, s_cu, s_xl, s_xu, s_ob,
+    e_ob); in elastic mode the obstacle consistency is |c + e - s| and the
+    objective gains the elastic terms rho_e*e - mu*ln(e).
     """
-    s_cl, s_cu, s_xl, s_xu, s_ob = slacks
+    s_cl, s_cu, s_xl, s_xu, s_ob, e_ob = slacks
+    elastic = cfg.solver.elastic_obstacles
     (c_cl, c_cu, c_xl, c_xu, c_ob), _, _, m = _constraint_values(
         cfg, problem, states, controls
     )
@@ -230,12 +279,23 @@ def _merit(cfg: MPCConfig, problem: Problem, states, controls, slacks, mu, rho):
         (c_cu, s_cu, m.cu),
         (c_xl, s_xl, m.xl),
         (c_xu, s_xu, m.xu),
-        (c_ob, s_ob, m.ob),
     ):
         log_term = log_term + jnp.sum(
             mask * jnp.log(jnp.maximum(s, 1e-30))
         )
         consist = consist + jnp.sum(mask * jnp.abs(c - s))
+    if s_ob.size:
+        log_term = log_term + jnp.sum(
+            m.ob * jnp.log(jnp.maximum(s_ob, 1e-30))
+        )
+        if elastic:
+            log_term = log_term + jnp.sum(
+                m.ob * jnp.log(jnp.maximum(e_ob, 1e-30))
+            )
+            obj = obj + cfg.solver.elastic_penalty * jnp.sum(m.ob * e_ob)
+            consist = consist + jnp.sum(m.ob * jnp.abs(c_ob + e_ob - s_ob))
+        else:
+            consist = consist + jnp.sum(m.ob * jnp.abs(c_ob - s_ob))
     d = unicycle.defects(states, controls, cfg.time_step)
     pin = problem.initial_state - states[0]
     eq = jnp.sum(jnp.abs(d)) + jnp.sum(jnp.abs(pin))
@@ -273,7 +333,13 @@ def _build_lqr(cfg: MPCConfig, problem: Problem, it: IPMState, mu):
     # Obstacles: J row for constraint (t, k) is the unit normal n on the
     # (x, y) entries of state t+1.
     if cfg.max_obstacles > 0:
-        g_ob, sig_ob = _grad_coef(c_ob, it.s_ob, it.nu_ob, m.ob, mu)
+        if sc.elastic_obstacles:
+            g_ob, sig_ob, _ = _elastic_coef(
+                c_ob, it.s_ob, it.nu_ob, it.e_ob, m.ob, mu,
+                sc.elastic_penalty, dtype == jnp.float64,
+            )
+        else:
+            g_ob, sig_ob = _grad_coef(c_ob, it.s_ob, it.nu_ob, m.ob, mu)
         n = normals  # [N, K, 2]
         # Gradient: rows 1..N of qx get -sum_k n_k * g_k on (x, y).
         qx = qx.at[1:, :2].add(-jnp.einsum("tkd,tk->td", n, g_ob))
@@ -330,7 +396,20 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
     ds_xl, dnu_xl = steps(c_xl, it.s_xl, it.nu_xl, m.xl, dx)
     ds_xu, dnu_xu = steps(c_xu, it.s_xu, it.nu_xu, m.xu, -dx)
     jdz_ob = jnp.einsum("tkd,td->tk", normals, dx[1:, :2])
-    ds_ob, dnu_ob = steps(c_ob, it.s_ob, it.nu_ob, m.ob, jdz_ob)
+    if sc.elastic_obstacles and c_ob.size:
+        _, _, (T_ob, r_e_ob, r_c_ob, sig_s_ob, sig_e_ob) = _elastic_coef(
+            c_ob, it.s_ob, it.nu_ob, it.e_ob, m.ob, mu,
+            sc.elastic_penalty, it.states.dtype == jnp.float64,
+        )
+        beta = sig_e_ob / jnp.maximum(sig_s_ob + sig_e_ob, floor)
+        ds_ob = m.ob * beta * (
+            jdz_ob + r_c_ob + (T_ob - r_e_ob) / sig_e_ob
+        )
+        de_ob = m.ob * (T_ob - r_e_ob - sig_s_ob * ds_ob) / sig_e_ob
+        dnu_ob = m.ob * (T_ob - sig_s_ob * ds_ob)
+    else:
+        ds_ob, dnu_ob = steps(c_ob, it.s_ob, it.nu_ob, m.ob, jdz_ob)
+        de_ob = jnp.zeros_like(ds_ob)
 
     # Fraction-to-boundary step limits.
     def ftb(v, dv):
@@ -341,6 +420,8 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
         (it.s_cl, ds_cl), (it.s_cu, ds_cu), (it.s_xl, ds_xl),
         (it.s_xu, ds_xu), (it.s_ob, ds_ob),
     )
+    if sc.elastic_obstacles and it.e_ob.size:
+        slack_pairs = slack_pairs + ((it.e_ob, de_ob),)
     dual_pairs = (
         (it.nu_cl, dnu_cl), (it.nu_cu, dnu_cu), (it.nu_xl, dnu_xl),
         (it.nu_xu, dnu_xu), (it.nu_ob, dnu_ob),
@@ -395,6 +476,7 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
             it.s_xl + alpha * ds_xl,
             it.s_xu + alpha * ds_xu,
             it.s_ob + alpha * ds_ob,
+            it.e_ob + alpha * de_ob,
         )
         return _merit(cfg, problem, new_states, new_controls, new_slacks, mu, rho)
 
@@ -456,6 +538,7 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
         s_xl=s_xl_n,
         s_xu=s_xu_n,
         s_ob=s_ob_n,
+        e_ob=it.e_ob + alpha * de_ob,
         nu_cl=clamp(it.nu_cl + alpha_nu * dnu_cl, s_cl_n, m.cl),
         nu_cu=clamp(it.nu_cu + alpha_nu * dnu_cu, s_cu_n, m.cu),
         nu_xl=clamp(it.nu_xl + alpha_nu * dnu_xl, s_xl_n, m.xl),

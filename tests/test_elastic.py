@@ -1,0 +1,85 @@
+"""Elastic obstacle mode (SNOPT-style c + e - s = 0 with linear penalty).
+
+Exactness property: on feasible problems the elastic solution coincides with
+the hard-constrained one (e -> 0) whenever elastic_penalty exceeds the true
+multiplier; on infeasible geometry the duals stay bounded and the solver
+reaches a well-defined stationary point instead of a merit deadlock.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from kissmpc_tpu import MPCConfig, default_problem, problem_with_obstacles
+from kissmpc_tpu.obstacles import static_set
+from kissmpc_tpu.solver import ipm
+
+
+def _elastic(cfg, **kw):
+    return cfg.replace(
+        solver=dataclasses.replace(cfg.solver, elastic_obstacles=True, **kw)
+    )
+
+
+def test_elastic_matches_hard_when_feasible():
+    cfg = MPCConfig(horizon=20, time_step=0.1, max_obstacles=2)
+    cfg_e = _elastic(cfg)
+    obs = static_set(
+        [[0.8, 0.05], [2.5, 2.5]], [0.25, 0.3], max_obstacles=2,
+        dtype=jnp.float64,
+    )
+
+    def mk(c):
+        return problem_with_obstacles(
+            c, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.6, 0.1, 0.0]), obs,
+            inflation_radius=0.4, dtype=jnp.float64,
+        )
+
+    s_hard = ipm.solve(cfg, mk(cfg))
+    s_el = ipm.solve(cfg_e, mk(cfg_e))
+    assert bool(s_hard.diagnostics.converged)
+    assert bool(s_el.diagnostics.converged)
+    np.testing.assert_allclose(
+        np.asarray(s_el.controls), np.asarray(s_hard.controls), atol=1e-9
+    )
+
+
+def test_elastic_noop_without_obstacles():
+    cfg = MPCConfig(horizon=15, time_step=0.1)
+    cfg_e = _elastic(cfg)
+    start, goal = jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 0.5, 0.0])
+    s_hard = ipm.solve(cfg, default_problem(cfg, start, goal, dtype=jnp.float64))
+    s_el = ipm.solve(cfg_e, default_problem(cfg_e, start, goal, dtype=jnp.float64))
+    np.testing.assert_allclose(
+        np.asarray(s_el.controls), np.asarray(s_hard.controls), atol=0.0
+    )
+
+
+def test_elastic_no_dual_explosion_on_symmetric_deadlock():
+    # The restoration-phase hard case (warm start straight through an
+    # obstacle on its symmetry axis): hard mode deadlocks with huge
+    # stationarity; elastic mode reaches a *stationary* elastic point with
+    # small dual residual and honestly reports infeasibility.
+    cfg = _elastic(MPCConfig(horizon=20, time_step=0.1, max_obstacles=1))
+    obs = static_set([[0.4, 0.0]], [0.2], dtype=jnp.float64)
+    warm_controls = np.tile(np.array([0.5, 0.0]), (cfg.horizon, 1))
+    warm_states = np.stack(
+        [np.linspace(0, 1, cfg.horizon + 1),
+         np.zeros(cfg.horizon + 1),
+         np.zeros(cfg.horizon + 1)], axis=1,
+    )
+    problem = problem_with_obstacles(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 0.0, 0.0]), obs,
+        inflation_radius=0.2,
+        warm_states=jnp.asarray(warm_states),
+        warm_controls=jnp.asarray(warm_controls),
+        repair_warm_start_states=False,
+        dtype=jnp.float64,
+    )
+    sol = ipm.solve(cfg, problem)
+    d = sol.diagnostics
+    assert bool(jnp.all(jnp.isfinite(sol.states)))
+    assert float(d.kkt_stationarity) < 1e-2  # stationary (elastic KKT)
+    assert float(d.kkt_feasibility) > 0.1  # honestly infeasible
+    assert not bool(d.converged)

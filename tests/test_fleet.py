@@ -125,3 +125,24 @@ def test_fleet_solver_on_2d_mesh():
         np.asarray(sol.controls), np.asarray(ref.controls), atol=1e-10
     )
     assert float(metrics.converged_fraction) > 0.9
+
+
+def test_nan_scenario_isolation():
+    # A poisoned scenario (NaN start) must not corrupt its batch neighbors —
+    # scenario independence is the fault-isolation boundary (SURVEY.md 5.3).
+    cfg = MPCConfig(horizon=10, time_step=0.1)
+    problems = _problems(cfg, 8)
+    poisoned = jax.tree.map(lambda x: x, problems)
+    poisoned = poisoned._replace(
+        initial_state=poisoned.initial_state.at[3, 0].set(jnp.nan)
+    )
+    sol_clean = make_batch_solver(cfg)(problems)
+    sol_poisoned = make_batch_solver(cfg)(poisoned)
+    ok = [i for i in range(8) if i != 3]
+    np.testing.assert_allclose(
+        np.asarray(sol_poisoned.controls)[ok],
+        np.asarray(sol_clean.controls)[ok],
+        atol=1e-12,
+    )
+    assert not bool(sol_poisoned.diagnostics.converged[3])
+    assert bool(jnp.all(sol_poisoned.diagnostics.converged[jnp.array(ok)]))

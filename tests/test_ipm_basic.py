@@ -100,3 +100,32 @@ def test_active_velocity_bound():
     v = np.asarray(sol.controls[:, 0])
     assert np.all(v <= 0.5 + 1e-7)
     assert np.max(v) > 0.5 - 1e-3
+
+
+def test_ros_deployment_preset():
+    # Deployment config of the reference node: N=7, dt=0.8, bounds +-0.3
+    # (`ros2interface.py:28-38`).
+    from kissmpc_tpu.config import ROS_DEPLOYMENT
+
+    cfg = ROS_DEPLOYMENT
+    solver = make_solver(cfg)
+    problem = default_problem(
+        cfg, jnp.array([0.0, 0.0, jnp.pi / 2]), jnp.array([0.0, 2.0, jnp.pi / 2]),
+        control_bounds=((-0.3, 0.3), (-0.3, 0.3)),
+        dtype=jnp.float64,
+    )
+    sol = solver(problem)
+    assert bool(sol.diagnostics.converged)
+    v = np.asarray(sol.controls[:, 0])
+    assert np.all(np.abs(v) <= 0.3 + 1e-7)
+    assert v[0] > 0.1  # drives toward the goal ahead
+
+
+def test_tiny_horizon():
+    cfg = MPCConfig(horizon=1, time_step=0.5)
+    sol = make_solver(cfg)(
+        default_problem(cfg, jnp.array([0.0, 0.0, 0.0]),
+                        jnp.array([0.3, 0.0, 0.0]), dtype=jnp.float64)
+    )
+    assert bool(sol.diagnostics.converged)
+    assert sol.controls.shape == (1, 2)
