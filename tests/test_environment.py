@@ -203,3 +203,37 @@ def test_failed_solve_falls_back_to_shifted_plan():
     np.testing.assert_allclose(
         float(agent2.linear_velocity), good_controls[1, 0], atol=1e-9
     )
+
+
+def test_episode_with_crossing_human():
+    # Config-4 closed loop: a human crosses the robot's path; each tick the
+    # environment receives the *current* obstacle state (as perception
+    # would publish it) and the solver plans against its predicted track.
+    from kissmpc_tpu.obstacles import dynamic_set
+
+    cfg = _cfg(max_obstacles=1)
+    params = AgentParams(radius=0.15)
+    env = env_mod.init_env(
+        cfg, jnp.array([0.0, 0.0, 0.0]),
+        waypoints=jnp.array([[2.4, 0.0, 0.0]]), dtype=jnp.float64,
+    )
+
+    human_start = np.array([1.4, -1.2])
+    human_v = 0.4  # m/s heading +y, crossing the robot's line
+    stepper = jax.jit(
+        lambda e, o: env_mod.step(cfg, params, e, o)
+    )
+    min_sep = np.inf
+    for tick in range(70):
+        t = tick * cfg.time_step
+        human_pos = human_start + np.array([0.0, human_v * t])
+        obs = dynamic_set(
+            [human_pos], orientations=np.pi / 2, linear_velocities=human_v,
+            dtype=jnp.float64,
+        )
+        env, info = stepper(env, obs)
+        pos = np.asarray(agent_mod.position(env.agent))
+        min_sep = min(min_sep, float(np.linalg.norm(pos - human_pos)))
+    # never closer than human radius (0.3) + robot radius (0.15)
+    assert min_sep >= 0.3 + params.radius - 1e-2, f"min separation {min_sep}"
+    assert bool(env_mod.final_goal_reached(params, env))

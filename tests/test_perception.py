@@ -184,3 +184,76 @@ def test_pipeline_end_to_end_synthetic():
         jnp.asarray(seg), jnp.array([True]), dt=0.1,
     )
     assert float(jnp.sum(obstacles.active)) == 1.0
+
+
+def test_threshold_blob_detector():
+    from kissmpc_tpu.perception.detectors import ThresholdBlobDetector
+
+    img = np.zeros((40, 60))
+    img[5:15, 10:22] = 1.0  # blob A (120 px)
+    img[25:31, 40:48] = 1.0  # blob B (48 px)
+    img[2, 2] = 1.0  # too small
+    det = ThresholdBlobDetector(max_instances=4, min_area=8)(img)
+    assert det.valid.sum() == 2
+    assert det.masks[0].sum() == 120  # largest first
+    assert det.masks[1].sum() == 48
+    # masks are disjoint and cover the blobs
+    assert not np.any(det.masks[0] & det.masks[1])
+
+
+def test_torch_adapter_contract():
+    torch = pytest.importorskip("torch")
+    from kissmpc_tpu.perception.detectors import TorchSegmentationAdapter
+
+    H, W = 24, 32
+
+    class FakeSeg(torch.nn.Module):
+        def forward(self, image):
+            masks = torch.zeros(3, 1, H, W)
+            masks[0, 0, 2:10, 2:10] = 1.0
+            masks[1, 0, 12:20, 12:20] = 1.0
+            masks[2, 0, 0:2, 0:2] = 1.0
+            scores = torch.tensor([0.9, 0.7, 0.2])
+            return {"masks": masks, "scores": scores}
+
+    det = TorchSegmentationAdapter(FakeSeg(), max_instances=4)(
+        np.zeros((H, W), np.float32)
+    )
+    assert det.valid.sum() == 2  # score 0.2 filtered at threshold 0.5
+    assert det.masks[0].sum() == 64
+    assert abs(det.scores[0] - 0.9) < 1e-6
+
+
+def test_detector_feeds_pipeline():
+    # blob detector -> pipeline.step end-to-end on a synthetic frame
+    from kissmpc_tpu.perception.detectors import ThresholdBlobDetector
+
+    H, W, P = 48, 64, 128
+    intr = Intrinsics(
+        fx=jnp.float32(40.0), fy=jnp.float32(40.0),
+        cx=jnp.float32(W / 2), cy=jnp.float32(H / 2),
+    )
+    eye = SE3(rotation=jnp.eye(3), translation=jnp.zeros(3))
+    geom = FrameGeometry(
+        intrinsics=intr, lidar_to_camera=eye, lidar_to_map=eye,
+        image_width=W, image_height=H,
+    )
+    # points at z=2 ahead, centered -> project near image center
+    pts = np.zeros((P, 3), np.float32)
+    pts[:40, 2] = 2.0
+    pts[:40, :2] = np.random.default_rng(0).normal(0, 0.02, (40, 2))
+    mask = np.zeros(P, bool)
+    mask[:40] = True
+
+    img = np.zeros((H, W))
+    img[H // 2 - 6 : H // 2 + 6, W // 2 - 6 : W // 2 + 6] = 1.0
+    det = ThresholdBlobDetector(max_instances=2)(img)
+
+    state = init_perception(capacity=4, dtype=jnp.float32)
+    cfg = TrackerConfig(min_hits=1)
+    state, obstacles = pipe.step(
+        cfg, state, geom, jnp.asarray(pts), jnp.asarray(mask),
+        jnp.asarray(det.masks[:2]), jnp.asarray(det.valid[:2]),
+        dt=0.1,
+    )
+    assert float(jnp.sum(obstacles.active)) == 1.0
