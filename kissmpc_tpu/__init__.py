@@ -11,7 +11,11 @@ See SURVEY.md at the repo root for the structural map of the reference and
 file:line parity citations throughout this package.
 """
 
+from . import agent, environment
+from .agent import AgentParams, AgentState
 from .config import CostConfig, MPCConfig, SolverConfig
+from .environment import EnvState
+from .obstacles import ObstacleSet, dynamic_set, static_set
 from .solver.api import make_batch_solver, make_solver
 from .solver.problem import (
     Diagnostics,

@@ -285,9 +285,12 @@ def ipm_fused_kernel(
         for f in fams.values():
             tot = tot + _reduce_sum(f.mask * f.s * f.nu)
             cnt = cnt + _reduce_sum(f.mask * jnp.ones_like(f.s))
+        # dtype-aware barrier floor (see solver/ipm.py::_adaptive_mu):
+        # below ~50 eps the f32 central path is unrepresentable and late
+        # iterations corrupt converged iterates.
         mu = jnp.clip(
             jnp.float32(sc.mu_sigma) * tot / jnp.maximum(cnt, 1.0),
-            jnp.float32(sc.mu_min),
+            jnp.float32(max(sc.mu_min, 50.0 * 1.1920929e-07)),
             jnp.float32(sc.mu_init),
         )
 

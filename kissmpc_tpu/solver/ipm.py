@@ -661,7 +661,15 @@ def _mean_complementarity(it: IPMState, masks: _Masks, dtype):
 def _adaptive_mu(cfg: MPCConfig, it: IPMState, masks: _Masks, dtype):
     sc = cfg.solver
     comp = _mean_complementarity(it, masks, dtype)
-    return jnp.clip(sc.mu_sigma * comp, sc.mu_min, sc.mu_init)
+    # The barrier floor must respect the dtype: driving mu below ~50 eps
+    # chases a central path f32 cannot represent, and the late iterations
+    # *degrade* already-converged iterates (sigma = nu/s turns to rounding
+    # noise).  f64 keeps the configured floor.
+    eps = jnp.finfo(dtype).eps
+    mu_floor = jnp.maximum(
+        jnp.asarray(sc.mu_min, dtype), 50.0 * eps
+    )
+    return jnp.clip(sc.mu_sigma * comp, mu_floor, sc.mu_init)
 
 
 def solve(cfg: MPCConfig, problem: Problem) -> Solution:

@@ -184,3 +184,31 @@ def test_scenario_record_replay_deterministic(tmp_path):
 
     with _pytest.raises(AssertionError):
         rep.verify(solver, atol=1e-6)
+
+
+def test_future_states_markers_both_layouts():
+    from kissmpc_tpu.io.markers import future_states_markers
+
+    states = np.array(
+        [[0.0, 0.0, 0.0], [0.5, 0.1, 0.2], [1.0, 0.2, 0.4], [1.5, 0.3, 0.6]]
+    )
+    for layout in (states, states.T):  # [N+1,3] and reference [3,N+1]
+        ms = future_states_markers(layout)
+        assert len(ms) == 4
+        assert ms[1]["position"][:2] == (0.5, 0.1)
+        assert ms[0]["type"] == "sphere"
+
+
+def test_track_markers_delete_on_vanish():
+    from kissmpc_tpu.io.markers import ADD, DELETE, TrackMarkerPublisher
+
+    pub = TrackMarkerPublisher()
+    ms = pub.update([7, 9], np.array([[1.0, 2.0], [3.0, 4.0]]))
+    assert {m["id"] for m in ms} == {7, 9}
+    assert all(m["action"] == ADD for m in ms)
+    # track 9 vanishes -> DELETE emitted exactly once
+    ms2 = pub.update([7], np.array([[1.1, 2.1]]))
+    deletes = [m for m in ms2 if m["action"] == DELETE]
+    assert [m["id"] for m in deletes] == [9]
+    ms3 = pub.update([7], np.array([[1.2, 2.2]]))
+    assert not [m for m in ms3 if m["action"] == DELETE]
