@@ -68,8 +68,12 @@ def main():
     solves_per_sec = batch / dt
 
     conv = float(jnp.mean(sol.diagnostics.converged.astype(jnp.float32)))
+    backend = cfg.solver.solve_backend
     result = {
-        "metric": f"MPC solves/sec/chip (N=50, batch={batch}, f32, 32 IPM iters)",
+        "metric": (
+            f"MPC solves/sec/chip (N=50, batch={batch}, f32, 32 IPM iters, "
+            f"{backend} backend)"
+        ),
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 1),

@@ -93,11 +93,12 @@ class SolverConfig:
     # Pallas Riccati kernel on TPU and the vmapped XLA scan elsewhere;
     # "xla" / "pallas" force a backend.  Unbatched solves always use XLA.
     lqr_backend: str = "auto"
-    # Batched-solve strategy: "split" = XLA iteration loop around the Pallas
-    # Riccati kernel (compiles in ~1 min); "fused" = the whole IPM loop as
-    # one Pallas megakernel (~15% faster steady-state, but Mosaic compile
-    # takes ~20 min on v5e — opt in for long-running fleets).
-    solve_backend: str = "split"
+    # Batched-solve strategy on TPU: "fused" (default) = the whole IPM loop
+    # as one Pallas megakernel (152k solves/s at N=50/B=8192 vs 107k for
+    # split; ~100 s compile); "split" = XLA iteration loop around the Pallas
+    # Riccati kernel.  f64 batches and elastic mode automatically fall back
+    # to split; CPU always uses the jnp path.
+    solve_backend: str = "fused"
 
 
 @dataclasses.dataclass(frozen=True)

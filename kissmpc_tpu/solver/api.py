@@ -34,21 +34,22 @@ def make_batch_solver(cfg: MPCConfig):
     ``cfg.solver.solve_backend == "fused"`` routes to the single-megakernel
     path on TPU (see SolverConfig for the compile-time tradeoff).
     """
+    import jax.numpy as jnp
+
     use_fused = (
         cfg.solver.solve_backend == "fused"
+        and not cfg.solver.elastic_obstacles
         and jax.devices()[0].platform != "cpu"
     )
-    if use_fused:
-        from ..ops.pallas.ipm_fused import solve_batch_fused
-
-        @jax.jit
-        def _solve_fused(problems: Problem) -> Solution:
-            return solve_batch_fused(cfg, problems)
-
-        return _solve_fused
 
     @jax.jit
     def _solve(problems: Problem) -> Solution:
+        # dtype is static at trace time: the fused kernel is f32-only,
+        # f64 batches take the jnp path.
+        if use_fused and problems.initial_state.dtype == jnp.float32:
+            from ..ops.pallas.ipm_fused import solve_batch_fused
+
+            return solve_batch_fused(cfg, problems)
         return jax.vmap(functools.partial(ipm.solve, cfg))(problems)
 
     return _solve
