@@ -50,8 +50,19 @@ def make_fleet_solver(cfg: MPCConfig, mesh: Mesh, axis_name: str = "data"):
     ICI per call).
     """
 
+    use_fused = (
+        cfg.solver.solve_backend == "fused"
+        and not cfg.solver.elastic_obstacles
+        and jax.devices()[0].platform != "cpu"
+    )
+
     def _local(problems: Problem):
-        sol = jax.vmap(functools.partial(ipm.solve, cfg))(problems)
+        if use_fused and problems.initial_state.dtype == jnp.float32:
+            from ..ops.pallas.ipm_fused import solve_batch_fused
+
+            sol = solve_batch_fused(cfg, problems)
+        else:
+            sol = jax.vmap(functools.partial(ipm.solve, cfg))(problems)
         d = sol.diagnostics
         n_local = d.converged.shape[0]
         metrics = FleetMetrics(
