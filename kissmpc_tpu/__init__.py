@@ -21,8 +21,10 @@ from .solver.problem import (
     Diagnostics,
     Problem,
     Solution,
+    complete_warm_start,
     default_problem,
     problem_with_obstacles,
+    repair_warm_start,
 )
 
 __version__ = "0.1.0"
@@ -36,6 +38,8 @@ __all__ = [
     "Diagnostics",
     "default_problem",
     "problem_with_obstacles",
+    "repair_warm_start",
+    "complete_warm_start",
     "make_solver",
     "make_batch_solver",
 ]

@@ -75,15 +75,28 @@ def repair_warm_start(
     obstacle faces the restoration-phase problem (IPOPT dedicates a whole
     sub-solver to it).  Receding-horizon warm starts are feasible by
     construction — except when a newly sensed obstacle overlaps the previous
-    plan, which is exactly this repair: push each violating state along the
-    obstacle normal to the inflated surface.  A few fixed passes handle
-    overlapping obstacles; states exactly at a center get an arbitrary fixed
-    direction.
+    plan, which is exactly this repair.
+
+    Violating states are pushed *laterally* — perpendicular to the local
+    trajectory direction, on the side the state already leans to (left by
+    convention when dead-center) — by the exact magnitude that clears the
+    inflated surface.  A radial push (the naive choice) is useless precisely
+    in the hard case: a trajectory cutting through the obstacle on a symmetry
+    axis has its radial normals *along* the motion, so radial projection
+    leaves the warm start on the axis and the barrier problem at a symmetric
+    saddle the Newton iteration cannot escape (the same degeneracy IPOPT's
+    restoration phase breaks via its own perturbations).  The lateral push
+    reduces to the radial one for grazing contact (motion tangent there is
+    perpendicular to the radial) and turns through-the-middle warm starts
+    into go-around ones.  States with no usable tangent (e.g. the reference's
+    tiled current-state warm start, `mpc/agent.py:82-90`) fall back to the
+    radial push; a few fixed passes handle overlapping obstacles.
     """
     states = warm_states
     needed = (
         obstacle_radii[None, :] + inflation_radius + margin
     )  # [1, K] broadcast over time
+    eps = jnp.asarray(1e-9, states.dtype)
 
     for _ in range(passes):
         p = states[1:, :2]  # [N, 2]
@@ -97,16 +110,160 @@ def repair_warm_start(
             diff, k_star[:, None, None], axis=1
         )[:, 0, :]
         dist_star = jnp.maximum(
-            jnp.take_along_axis(dist, k_star[:, None], axis=1)[:, 0], 1e-9
+            jnp.take_along_axis(dist, k_star[:, None], axis=1)[:, 0], eps
         )
+        needed_star = jnp.take_along_axis(
+            jnp.broadcast_to(needed, dist.shape), k_star[:, None], axis=1
+        )[:, 0]
         n = jnp.where(
             dist_star[:, None] > 1e-6,
             diff_star / dist_star[:, None],
             jnp.array([1.0, 0.0], states.dtype),
         )
-        p_new = p + n * push_star[:, None]
+
+        # Local trajectory tangent (central difference; the initial state
+        # anchors the first row, the last row uses a backward difference).
+        p_prev = jnp.concatenate([states[0:1, :2], p[:-1]], axis=0)
+        p_next = jnp.concatenate([p[1:], p[-1:]], axis=0)
+        t = p_next - p_prev
+        t_norm = jnp.sqrt(jnp.sum(t * t, axis=1, keepdims=True))
+        have_t = t_norm[:, 0] > 1e-9
+        t_hat = t / jnp.maximum(t_norm, eps)
+        lateral = jnp.stack([-t_hat[:, 1], t_hat[:, 0]], axis=1)  # rot90(t)
+        a_signed = jnp.sum(diff_star * lateral, axis=1)
+        # Keep the side the state already leans to; dead-center goes left.
+        lateral = jnp.where(a_signed[:, None] < 0, -lateral, lateral)
+        a = jnp.abs(a_signed)
+        # Exact lateral clearing distance: |p + d*L - c| = needed with
+        # dot(p - c, L) = a  =>  d = -a + sqrt(a^2 + needed^2 - dist^2).
+        d_lat = -a + jnp.sqrt(
+            jnp.maximum(a * a + needed_star**2 - dist_star**2, 0.0)
+        )
+        direction = jnp.where(have_t[:, None], lateral, n)
+        magnitude = jnp.where(have_t, d_lat, push_star)
+        magnitude = jnp.where(push_star > 0, magnitude, 0.0)
+        p_new = p + direction * magnitude[:, None]
         states = states.at[1:, :2].set(p_new)
     return states
+
+
+def complete_warm_start(
+    warm_states: jax.Array,  # [N+1, 3] target path (positions repaired)
+    initial_state: jax.Array,  # [3]
+    control_lower: jax.Array,  # [2]
+    control_upper: jax.Array,  # [2]
+    obstacle_centers: jax.Array,  # [K, N, 2] tracks
+    obstacle_radii: jax.Array,  # [K]
+    obstacle_mask: jax.Array,  # [K]
+    inflation_radius,
+    dt,
+):
+    """Re-roll a (possibly unreachable) repaired path through the real
+    dynamics with a collision-gated tracking controller.
+
+    `repair_warm_start` fixes the *geometry* of a warm start but not its
+    *reachability*: a detour wide enough to clear an obstacle can require
+    several times the velocity/turn-rate budget, and an interior-point
+    iteration started there converges to a local minimum of infeasibility —
+    pressed between the barrier wall (clearance) and the reachable tube
+    (dynamics defects), the same failure IPOPT's restoration phase reports as
+    "converged to a point of local infeasibility".
+
+    This completion makes the warm start *feasible by construction*: scan the
+    real forward-Euler dynamics, each step steering toward the repaired
+    path's next waypoint with bound-clipped (v, omega), scaling speed by the
+    heading error, and capping v so the next position cannot enter any
+    (inflated) obstacle disk — the cap is the exact positive root of
+    |p + v*dt*u - c|^2 = R^2 along the current heading u.  The result has
+    zero dynamics defects and nonnegative clearance, so the solver starts
+    inside the feasible region and only has to optimize, never to restore.
+    When the cap blocks progress toward the waypoint, steering retargets the
+    obstacle *tangent* (classic wall-following), so the rollout slides around
+    the disk instead of parking against it.  When the target path is itself a
+    bound-respecting rollout the controller reproduces it exactly (e = 0,
+    v_des = |dq|/dt), so feasible warm starts pass through unchanged.
+    """
+    dtype = warm_states.dtype
+    v_lb = jnp.maximum(control_lower[0], 0.0)  # never reverse while tracking
+    v_ub = control_upper[0]
+    w_lb, w_ub = control_lower[1], control_upper[1]
+    R = jnp.where(
+        obstacle_mask > 0.5,
+        obstacle_radii + inflation_radius,
+        -jnp.inf,
+    )  # [K]
+    targets = warm_states[1:, :2]  # [N, 2]
+    centers = jnp.swapaxes(obstacle_centers, 0, 1)  # [N, K, 2]
+
+    def caps(p, th, c_t):
+        # Collision gate along heading th: f(v) = a v^2 + b v + c0 with
+        # f >= 0 iff the next position clears obstacle k.
+        u = jnp.array([jnp.cos(th), jnp.sin(th)])
+        rel = p[None, :] - c_t  # [K, 2]
+        a = dt * dt
+        b = 2.0 * dt * (rel @ u)  # [K]
+        c0 = jnp.sum(rel * rel, axis=1) - R * R  # [K]
+        disc = b * b - 4.0 * a * c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        v1 = (-b - sq) / (2.0 * a)  # entry root
+        v2 = (-b + sq) / (2.0 * a)  # exit root
+        # From outside (c0 >= 0): f < 0 exactly on (v1, v2), so forward
+        # motion is capped at max(v1, 0) whenever that interval reaches
+        # forward speeds — max(v1, 0), not a v1 > 0 test, because rounding
+        # can put a boundary point's entry root at -epsilon while every
+        # positive speed still enters the disk.  From inside (c0 < 0): depth
+        # strictly improves for any v > 0 when b > 0 (f is increasing), so
+        # escape freely; moving inward (b <= 0), stop.
+        cap_out = jnp.where(
+            (disc > 0.0) & (v2 > 0.0), jnp.maximum(v1, 0.0), jnp.inf
+        )
+        cap = jnp.where(c0 < 0.0, jnp.where(b > 0.0, jnp.inf, 0.0), cap_out)
+        cap = jnp.where(jnp.isfinite(R), cap, jnp.inf)
+        return cap, rel
+
+    def body(state, inputs):
+        q, c_t = inputs  # [2], [K, 2]
+        p, th = state[:2], state[2]
+        to_q = q - p
+        dist_q = jnp.sqrt(jnp.sum(to_q * to_q) + 1e-18)
+        phi = jnp.where(dist_q > 1e-6, jnp.arctan2(to_q[1], to_q[0]), th)
+        e = jnp.arctan2(jnp.sin(phi - th), jnp.cos(phi - th))
+        v_des = jnp.clip(dist_q / dt * jnp.maximum(jnp.cos(e), 0.0), v_lb, v_ub)
+        cap, rel = caps(p, th, c_t)
+        cap_min = jnp.min(cap)
+
+        # Wall-following: when the gate blocks the waypoint direction, steer
+        # along the blocking obstacle's tangent on the waypoint's side.
+        k_blk = jnp.argmin(cap)
+        rel_b = rel[k_blk]
+        rel_n = jnp.sqrt(jnp.sum(rel_b * rel_b) + 1e-18)
+        tang = jnp.array([-rel_b[1], rel_b[0]]) / rel_n
+        # Side choice: the waypoint's side; dead-center ties (path straight
+        # through the disk) break to the left of the approach direction,
+        # matching `repair_warm_start`'s convention.
+        left = jnp.array([-to_q[1], to_q[0]])
+        score = jnp.dot(tang, to_q) + 1e-6 * jnp.dot(tang, left)
+        tang = jnp.where(score < 0.0, -tang, tang)
+        blocked = cap_min < v_des
+        phi_eff = jnp.where(blocked, jnp.arctan2(tang[1], tang[0]), phi)
+        e_eff = jnp.arctan2(jnp.sin(phi_eff - th), jnp.cos(phi_eff - th))
+        om = jnp.clip(e_eff / dt, w_lb, w_ub)
+        v = jnp.clip(jnp.minimum(v_des, cap_min), v_lb, jnp.minimum(v_ub, cap_min))
+        v = jnp.maximum(v, 0.0)
+        control = jnp.stack([v, om])
+        nxt = jnp.stack(
+            [
+                p[0] + v * jnp.cos(th) * dt,
+                p[1] + v * jnp.sin(th) * dt,
+                th + om * dt,
+            ]
+        )
+        return nxt, (nxt, control)
+
+    x0 = initial_state.astype(dtype)
+    _, (tail, controls) = jax.lax.scan(body, x0, (targets, centers))
+    states = jnp.concatenate([x0[None], tail], axis=0)
+    return states, controls
 
 
 def problem_with_obstacles(
@@ -147,14 +304,34 @@ def problem_with_obstacles(
         **kwargs,
     )
     if repair_warm_start_states and cfg.max_obstacles > 0:
+        repaired = repair_warm_start(
+            problem.warm_states,
+            problem.obstacle_centers,
+            problem.obstacle_radii,
+            problem.obstacle_mask,
+            problem.inflation_radius,
+        )
+        # Only a warm start the repair actually moved needs the rollout
+        # completion; clean warm starts pass through bit-identical.
+        changed = jnp.any(
+            jnp.abs(repaired - problem.warm_states) > 1e-12
+        )
+        rolled_states, rolled_controls = complete_warm_start(
+            repaired,
+            problem.initial_state,
+            problem.control_lower,
+            problem.control_upper,
+            problem.obstacle_centers,
+            problem.obstacle_radii,
+            problem.obstacle_mask,
+            problem.inflation_radius,
+            cfg.time_step,
+        )
         problem = problem._replace(
-            warm_states=repair_warm_start(
-                problem.warm_states,
-                problem.obstacle_centers,
-                problem.obstacle_radii,
-                problem.obstacle_mask,
-                problem.inflation_radius,
-            )
+            warm_states=jnp.where(changed, rolled_states, problem.warm_states),
+            warm_controls=jnp.where(
+                changed, rolled_controls, problem.warm_controls
+            ),
         )
     return problem
 

@@ -9,7 +9,6 @@ per-timestep dynamic tracks (the intended semantics of
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from kissmpc_tpu import (
     MPCConfig,
@@ -166,19 +165,15 @@ def test_config4_dynamic_obstacle_parity():
     assert err <= PARITY_TOL, f"max|u - u_oracle| = {err:.2e}"
 
 
-@pytest.mark.xfail(
-    reason=(
-        "Restoration-phase hard case: a warm start driving straight through "
-        "an obstacle at bound speed leaves the reachable tube and the "
-        "clearance region locally disjoint; the merit deadlocks between the "
-        "barrier wall and the defect penalty.  IPOPT dedicates a separate "
-        "restoration NLP to this.  Planned fix: soft-constraint (exact l1 "
-        "penalty) fallback mode.  Honest failure reporting for this case is "
-        "covered by test_infeasible_problem_degrades_gracefully."
-    ),
-    strict=False,
-)
 def test_infeasible_warm_start_recovers():
+    # Restoration-phase hard case: a warm start driving straight through an
+    # obstacle at bound speed.  The geometric repair alone lands on a local
+    # minimum of infeasibility (the detour it draws needs ~5x the turn-rate
+    # budget; IPOPT's restoration phase fails here too — and so does the
+    # scipy trust-constr oracle, status 0).  `complete_warm_start` re-rolls
+    # the repaired path through the real dynamics with a collision-gated
+    # tracking controller, so the solver starts feasible-by-construction and
+    # converges honestly to a nearby local optimum.
     # A warm-start *trajectory* that drives straight through the obstacle
     # (slacks would need log of a negative constraint without the slack
     # reformulation) must still land on a feasible, converged solution.
@@ -208,6 +203,76 @@ def test_infeasible_warm_start_recovers():
     d = np.linalg.norm(p - np.array([0.4, 0.0]), axis=1) - 0.2
     assert np.min(d) >= inflation - 1e-6
     assert bool(jnp.all(jnp.isfinite(sol.states)))
+
+
+def test_complete_warm_start_feasible_by_construction():
+    # The completion's contract: whatever (possibly unreachable) path the
+    # geometric repair produced, the completed warm start has (a) exactly
+    # zero dynamics defects, (b) bound-respecting controls, and (c) no state
+    # inside any inflated obstacle disk.
+    from kissmpc_tpu import complete_warm_start
+    from kissmpc_tpu.models import unicycle
+
+    cfg = MPCConfig(horizon=20, time_step=0.1, max_obstacles=1)
+    obs = static_set([[0.4, 0.0]], [0.2], dtype=jnp.float64)
+    warm_states = np.stack(
+        [
+            np.linspace(0.0, 1.0, cfg.horizon + 1),
+            np.zeros(cfg.horizon + 1),
+            np.zeros(cfg.horizon + 1),
+        ],
+        axis=1,
+    )
+    problem = problem_with_obstacles(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 0.0, 0.0]), obs,
+        inflation_radius=0.2,
+        warm_states=jnp.asarray(warm_states),
+        warm_controls=jnp.tile(jnp.array([0.5, 0.0]), (cfg.horizon, 1)),
+        repair_warm_start_states=False,
+        dtype=jnp.float64,
+    )
+    states, controls = complete_warm_start(
+        problem.warm_states, problem.initial_state,
+        problem.control_lower, problem.control_upper,
+        problem.obstacle_centers, problem.obstacle_radii,
+        problem.obstacle_mask, problem.inflation_radius, cfg.time_step,
+    )
+    d = unicycle.defects(states, controls, cfg.time_step)
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-12)
+    u = np.asarray(controls)
+    assert np.all(u[:, 0] <= float(problem.control_upper[0]) + 1e-12)
+    assert np.all(u[:, 1] >= float(problem.control_lower[1]) - 1e-12)
+    assert np.all(u[:, 1] <= float(problem.control_upper[1]) + 1e-12)
+    p = np.asarray(states[1:, :2])
+    clear = np.linalg.norm(p - np.array([0.4, 0.0]), axis=1) - (0.2 + 0.2)
+    assert np.min(clear) >= -1e-9
+
+
+def test_clean_warm_start_passes_through_unchanged():
+    # A warm start that never violates must come out of problem construction
+    # bit-identical: the repair + completion pipeline only activates when the
+    # repair actually moved a state.
+    cfg = MPCConfig(horizon=10, time_step=0.1, max_obstacles=1)
+    obs = static_set([[5.0, 5.0]], [0.2], dtype=jnp.float64)
+    warm_controls = np.tile(np.array([0.3, 0.1]), (cfg.horizon, 1))
+    from kissmpc_tpu.models import unicycle
+    warm_states = unicycle.rollout(
+        jnp.array([0.0, 0.0, 0.0], jnp.float64),
+        jnp.asarray(warm_controls), cfg.time_step,
+    )
+    problem = problem_with_obstacles(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 0.0, 0.0]), obs,
+        inflation_radius=0.1,
+        warm_states=warm_states,
+        warm_controls=jnp.asarray(warm_controls),
+        dtype=jnp.float64,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(problem.warm_states), np.asarray(warm_states)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(problem.warm_controls), warm_controls
+    )
 
 
 def test_infeasible_problem_degrades_gracefully():
