@@ -498,7 +498,13 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
     # through arbitrarily bad iterates and blow up the duals).
     eps = jnp.finfo(it.states.dtype).eps
     step_inf = jnp.maximum(jnp.max(jnp.abs(dx)), jnp.max(jnp.abs(du)))
-    newton_regime = step_inf < 1e-4
+    # The noise regime is dtype-wide: in f32 a merit of ~1e3 has ~1e-4
+    # absolute comparison noise, which dominates the merit change of steps up
+    # to ~1e-2 near a solution — strict comparisons there reject the Newton
+    # tail at random and cap the converged fraction.
+    newton_regime = step_inf < (
+        1e-4 if it.states.dtype == jnp.float64 else 1e-2
+    )
     tol = 16.0 * eps * (1.0 + jnp.abs(merit0)) + jnp.where(
         newton_regime, 10.0 * rho * step_inf * step_inf, 0.0
     )
@@ -547,8 +553,13 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
         # Grow on deep merit backtracking (the *merit* rejected the Newton
         # direction — linearization overshoot), not on a small alpha alone
         # (which is routinely fraction-to-boundary-limited and healthy).
+        # Near convergence (the small-step Newton regime) merit comparisons
+        # are dominated by floating-point noise, so deep-backtrack counts are
+        # spurious there; growing reg on them damps the superlinear tail and
+        # caps the converged fraction.  Only genuine large-step rejections
+        # indicate linearization overshoot.
         reg=jnp.where(
-            (~any_ok) | (idx >= 4),
+            (~any_ok) | ((idx >= 4) & ~newton_regime),
             jnp.minimum(jnp.maximum(it.reg, sc.reg) * 8.0, 1e8),
             jnp.maximum(it.reg / 3.0, sc.reg),
         ),
