@@ -229,23 +229,30 @@ def complete_warm_start(
         phi = jnp.where(dist_q > 1e-6, jnp.arctan2(to_q[1], to_q[0]), th)
         e = jnp.arctan2(jnp.sin(phi - th), jnp.cos(phi - th))
         v_des = jnp.clip(dist_q / dt * jnp.maximum(jnp.cos(e), 0.0), v_lb, v_ub)
-        cap, rel = caps(p, th, c_t)
-        cap_min = jnp.min(cap)
+        if obstacle_radii.shape[0] == 0:
+            # Obstacle-free problems (K = 0): no gate, no wall-following —
+            # zero-size reductions below have no identity.
+            cap_min = jnp.asarray(jnp.inf, dtype)
+            phi_eff = phi
+        else:
+            cap, rel = caps(p, th, c_t)
+            cap_min = jnp.min(cap)
 
-        # Wall-following: when the gate blocks the waypoint direction, steer
-        # along the blocking obstacle's tangent on the waypoint's side.
-        k_blk = jnp.argmin(cap)
-        rel_b = rel[k_blk]
-        rel_n = jnp.sqrt(jnp.sum(rel_b * rel_b) + 1e-18)
-        tang = jnp.array([-rel_b[1], rel_b[0]]) / rel_n
-        # Side choice: the waypoint's side; dead-center ties (path straight
-        # through the disk) break to the left of the approach direction,
-        # matching `repair_warm_start`'s convention.
-        left = jnp.array([-to_q[1], to_q[0]])
-        score = jnp.dot(tang, to_q) + 1e-6 * jnp.dot(tang, left)
-        tang = jnp.where(score < 0.0, -tang, tang)
-        blocked = cap_min < v_des
-        phi_eff = jnp.where(blocked, jnp.arctan2(tang[1], tang[0]), phi)
+            # Wall-following: when the gate blocks the waypoint direction,
+            # steer along the blocking obstacle's tangent on the waypoint's
+            # side.
+            k_blk = jnp.argmin(cap)
+            rel_b = rel[k_blk]
+            rel_n = jnp.sqrt(jnp.sum(rel_b * rel_b) + 1e-18)
+            tang = jnp.array([-rel_b[1], rel_b[0]]) / rel_n
+            # Side choice: the waypoint's side; dead-center ties (path
+            # straight through the disk) break to the left of the approach
+            # direction, matching `repair_warm_start`'s convention.
+            left = jnp.array([-to_q[1], to_q[0]])
+            score = jnp.dot(tang, to_q) + 1e-6 * jnp.dot(tang, left)
+            tang = jnp.where(score < 0.0, -tang, tang)
+            blocked = cap_min < v_des
+            phi_eff = jnp.where(blocked, jnp.arctan2(tang[1], tang[0]), phi)
         e_eff = jnp.arctan2(jnp.sin(phi_eff - th), jnp.cos(phi_eff - th))
         om = jnp.clip(e_eff / dt, w_lb, w_ub)
         v = jnp.clip(jnp.minimum(v_des, cap_min), v_lb, jnp.minimum(v_ub, cap_min))

@@ -275,6 +275,37 @@ def test_clean_warm_start_passes_through_unchanged():
     )
 
 
+def test_complete_warm_start_no_obstacles():
+    # K = 0 (obstacle-free config): the completion must degrade to plain
+    # waypoint tracking instead of crashing on zero-size gate reductions.
+    from kissmpc_tpu import complete_warm_start
+    from kissmpc_tpu.models import unicycle
+
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=0)
+    goal = jnp.array([1.0, 0.5, 0.0], jnp.float64)
+    target = jnp.tile(goal[None], (cfg.horizon + 1, 1))
+    states, controls = complete_warm_start(
+        target,
+        jnp.array([0.0, 0.0, 0.0], jnp.float64),
+        jnp.array([-0.2, -0.5], jnp.float64),
+        jnp.array([0.5, 0.5], jnp.float64),
+        jnp.zeros((0, cfg.horizon, 2), jnp.float64),
+        jnp.zeros((0,), jnp.float64),
+        jnp.zeros((0,), jnp.float64),
+        jnp.asarray(0.0, jnp.float64),
+        cfg.time_step,
+    )
+    d = unicycle.defects(states, controls, cfg.time_step)
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-12)
+    u = np.asarray(controls)
+    assert np.all(u[:, 0] >= 0.0) and np.all(u[:, 0] <= 0.5 + 1e-12)
+    assert np.all(np.abs(u[:, 1]) <= 0.5 + 1e-12)
+    # It must actually make progress toward the target.
+    d0 = np.linalg.norm(np.asarray(states[0, :2]) - np.asarray(goal[:2]))
+    d1 = np.linalg.norm(np.asarray(states[-1, :2]) - np.asarray(goal[:2]))
+    assert d1 < d0
+
+
 def test_infeasible_problem_degrades_gracefully():
     # Start pinned *inside* the inflation margin: the NLP is genuinely
     # infeasible for the first few timesteps (the robot cannot teleport out).
