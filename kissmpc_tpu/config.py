@@ -103,6 +103,22 @@ class SolverConfig:
     # Riccati kernel.  f64 batches and elastic mode automatically fall back
     # to split; CPU always uses the jnp path.
     solve_backend: str = "fused"
+    # Scenarios per fused-kernel program instance (Pallas grid tile).  0 =
+    # the measured default (`ops/pallas/ipm_fused.BT`); smaller tiles trade
+    # throughput for VMEM headroom (large K needs it).
+    fused_block: int = 0
+    # Second-chance refinement (batched solves only): after the fixed
+    # iteration budget, gather the worst ``refine_fraction`` of the batch by
+    # convergence, re-solve them for ``refine_iterations`` more iterations
+    # warm-started from their final iterates (the dual/slack re-centering of
+    # the restart doubles as the perturbation that unsticks merit-stalled
+    # scenarios), and scatter back whichever re-solves converged.  The role
+    # IPOPT's restoration phase plays for its stuck iterates
+    # (`mpc/optimizer.py:344-354` relies on it implicitly), shaped for a
+    # fixed-iteration batched solver: the tail is a small dense sub-batch,
+    # not a per-scenario branch.  0.0 disables.
+    refine_fraction: float = 0.0
+    refine_iterations: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -15,8 +15,9 @@ Specializations relative to the generic path:
    nontrivial entries, the value Hessian P is symmetric (6 planes), and the
    stage Hessian blocks are diag + one (x,y) off-diagonal — the backward
    sweep is ~60 fused multiply-adds per step instead of generic 3x3 algebra;
- * the merit line search walks its 8 candidates with whole-array trial
-   evaluations inside the kernel.
+ * the merit line search walks its ``ls_iters`` backtracking candidates
+   (default 4, `config.py`) with whole-array trial evaluations inside the
+   kernel.
 
 Algorithmic content is identical to `solver/ipm.py` (same merit, fraction-
 to-boundary, adaptive mu/rho/regularization, dual clamp); that jnp path is
@@ -753,13 +754,16 @@ def _pad_batch(x, b_padded):
 
 
 def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
-                      interpret: bool = False, bt: int = BT):
+                      interpret: bool = False, bt: int | None = None):
     """Solve a batched Problem with the fused IPM kernel.
 
     Returns a `Solution` (diagnostics computed in jnp from the kernel's
     final slacks/duals — one cheap pass).  Leaves of ``problems`` have a
-    leading batch axis B.  f32 path.
+    leading batch axis B.  f32 path.  The scenario tile defaults to
+    ``cfg.solver.fused_block`` if set, else the module-level measured ``BT``.
     """
+    if bt is None:
+        bt = cfg.solver.fused_block or BT
     from ...solver import ipm as ipm_mod
     from ...solver.problem import Solution
 

@@ -13,7 +13,6 @@ mesh used in CI (SURVEY.md section 4, point 4).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -22,7 +21,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MPCConfig
-from ..solver import ipm
 from ..solver.problem import Problem, Solution
 
 
@@ -50,19 +48,10 @@ def make_fleet_solver(cfg: MPCConfig, mesh: Mesh, axis_name: str = "data"):
     ICI per call).
     """
 
-    use_fused = (
-        cfg.solver.solve_backend == "fused"
-        and not cfg.solver.elastic_obstacles
-        and jax.devices()[0].platform != "cpu"
-    )
+    from ..solver.api import solve_batch
 
     def _local(problems: Problem):
-        if use_fused and problems.initial_state.dtype == jnp.float32:
-            from ..ops.pallas.ipm_fused import solve_batch_fused
-
-            sol = solve_batch_fused(cfg, problems)
-        else:
-            sol = jax.vmap(functools.partial(ipm.solve, cfg))(problems)
+        sol = solve_batch(cfg, problems)
         d = sol.diagnostics
         n_local = d.converged.shape[0]
         metrics = FleetMetrics(

@@ -1,0 +1,193 @@
+"""Benchmark / test scenario generation.
+
+The reference has no scenario tooling — its "benchmark" is a robot driving
+the RRC lab (`mpc/environment.py:39-80`).  Batched TPU solving needs
+*populations* of scenarios; this module samples receding-horizon-style
+problems, with and without obstacle fields, through the production problem
+construction path (`problem_with_obstacles`: sensor top-K filter, track
+prediction, warm-start repair + feasible completion).
+
+Geometry of the obstacle worlds: circles are seeded along the start->goal
+segment with lateral scatter, so the constraint set is *active* for most
+scenarios (a circle field the straight-line plan never touches benchmarks
+nothing).  Radii follow the reference's scale — humans are r=0.3
+(`obstacle_handling/dynamic_obstacle.py:9`), lab-map circles pack down to
+r~0.15 (`obstacle_handling/static_obstacle.py:37-56`); a subset moves with
+constant velocity like the reference's predicted human tracks
+(`obstacle_handling/dynamic_obstacle.py:30-37`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Reference inflation: robot radius 0.3 + 0.1 margin (`mpc/agent.py:149`).
+DEFAULT_INFLATION = 0.4
+
+
+def sample_endpoints(cfg, batch: int, rng: np.random.Generator):
+    """Random receding-horizon (start, goal) pairs: goals within ~1.2x the
+    horizon's reachable range (matches `__graft_entry__._example_problems`)."""
+    starts = np.concatenate(
+        [rng.uniform(-2, 2, (batch, 2)), rng.uniform(-3.1, 3.1, (batch, 1))],
+        axis=1,
+    ).astype(np.float32)
+    reach = cfg.horizon * cfg.time_step * 0.5  # v_max = 0.5
+    r = rng.uniform(0.1, 1.2 * reach, (batch, 1))
+    ang = rng.uniform(-np.pi, np.pi, (batch, 1))
+    goals = np.concatenate(
+        [
+            starts[:, 0:1] + r * np.cos(ang),
+            starts[:, 1:2] + r * np.sin(ang),
+            rng.uniform(-3.1, 3.1, (batch, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return starts, goals
+
+
+def sample_obstacle_field(
+    starts: np.ndarray,  # [B, 3]
+    goals: np.ndarray,  # [B, 3]
+    k: int,
+    rng: np.random.Generator,
+    *,
+    n_dynamic: int = 0,
+    inflation: float = DEFAULT_INFLATION,
+    radius_range=(0.15, 0.45),
+    lateral_sigma: float = 0.35,
+    endpoint_margin: float = 0.12,
+):
+    """Sample K circles per scenario straddling the start->goal segment.
+
+    Returns (centers [B,K,2], radii [B,K], orientation [B,K], v [B,K]) with
+    both endpoints guaranteed outside every inflated circle (the initial
+    state is *pinned* — a start inside an obstacle is an infeasible NLP by
+    construction, which is a different benchmark).  ``n_dynamic`` of the K
+    slots get a constant velocity in [0.3, 1.0] m/s with random heading.
+    """
+    B = starts.shape[0]
+    seg = goals[:, :2] - starts[:, :2]  # [B, 2]
+    seg_len = np.maximum(np.linalg.norm(seg, axis=1, keepdims=True), 1e-6)
+    d_hat = seg / seg_len
+    perp = np.stack([-d_hat[:, 1], d_hat[:, 0]], axis=1)  # [B, 2]
+
+    frac = rng.uniform(0.2, 0.9, (B, k)).astype(np.float32)
+    lat = rng.normal(0.0, lateral_sigma, (B, k)).astype(np.float32)
+    centers = (
+        starts[:, None, :2]
+        + frac[..., None] * seg[:, None, :]
+        + lat[..., None] * perp[:, None, :]
+    ).astype(np.float32)
+    radii = rng.uniform(*radius_range, (B, k)).astype(np.float32)
+
+    # Push circles clear of both endpoints.  The *start* clearance is
+    # feasibility-critical (the initial state is pinned; a start inside an
+    # inflated circle is an infeasible NLP), so the alternating passes END
+    # with a start push: when start and goal are closer than the two
+    # clearance disks allow, the goal side keeps a (harmless) residual
+    # violation — a goal inside an obstacle just parks the optimum at the
+    # boundary.
+    need = radii + inflation + endpoint_margin
+    for _ in range(3):
+        for p in (goals[:, :2], starts[:, :2]):
+            d = centers - p[:, None, :]  # [B, K, 2]
+            dist = np.maximum(np.linalg.norm(d, axis=-1), 1e-6)
+            push = np.maximum(need - dist, 0.0)
+            centers = centers + d / dist[..., None] * push[..., None]
+
+    orientation = rng.uniform(-np.pi, np.pi, (B, k)).astype(np.float32)
+    v = np.zeros((B, k), np.float32)
+    if n_dynamic > 0:
+        v[:, :n_dynamic] = rng.uniform(0.3, 1.0, (B, n_dynamic))
+        # Feasibility guard: the initial state is *pinned*, so a moving
+        # obstacle whose straight-line track sweeps the start makes the NLP
+        # (near-)infeasible by construction — that benchmarks the generator,
+        # not the solver.  Redirect such obstacles radially away from the
+        # start (distance then increases monotonically along the track).
+        rel = centers - starts[:, None, :2]  # [B, K, 2]
+        dist0 = np.maximum(np.linalg.norm(rel, axis=-1), 1e-6)
+        u = np.stack([np.cos(orientation), np.sin(orientation)], axis=-1)
+        # closest approach of c(t) = c0 + v t u to the start: project -rel
+        # onto u, clamp to forward time.
+        t_star = np.clip(-np.sum(rel * u, axis=-1), 0.0, None)
+        closest = np.linalg.norm(
+            rel + t_star[..., None] * u, axis=-1
+        )
+        sweep = (v > 0) & (closest < radii + inflation + endpoint_margin)
+        away = np.arctan2(rel[..., 1], rel[..., 0]).astype(np.float32)
+        orientation = np.where(sweep, away, orientation)
+    return centers, radii, orientation, v
+
+
+def obstacle_problems(
+    cfg,
+    batch: int,
+    *,
+    seed: int = 0,
+    n_dynamic: int = 2,
+    inflation: float = DEFAULT_INFLATION,
+    dtype=None,
+):
+    """Batched obstacle-laden Problems through the production build path.
+
+    Uses `problem_with_obstacles` (vmapped): sensor-radius top-K selection,
+    per-timestep constant-velocity track prediction at the plan's own dt,
+    warm-start repair + collision-gated feasible completion.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .obstacles.obstacles import ObstacleSet
+    from .solver.problem import problem_with_obstacles
+
+    if dtype is None:
+        dtype = jnp.float32
+    K = cfg.max_obstacles
+    assert K > 0, "obstacle_problems needs cfg.max_obstacles > 0"
+    rng = np.random.default_rng(seed)
+    starts, goals = sample_endpoints(cfg, batch, rng)
+    centers, radii, orientation, v = sample_obstacle_field(
+        starts, goals, K, rng, n_dynamic=n_dynamic, inflation=inflation
+    )
+    obs = ObstacleSet(
+        position=jnp.asarray(centers, dtype),
+        radius=jnp.asarray(radii, dtype),
+        orientation=jnp.asarray(orientation, dtype),
+        linear_velocity=jnp.asarray(v, dtype),
+        angular_velocity=jnp.zeros((batch, K), dtype),
+        active=jnp.ones((batch, K), dtype),
+    )
+
+    def build(s, g, o):
+        return problem_with_obstacles(
+            cfg,
+            s,
+            g,
+            o,
+            sensor_radius=5.0,
+            prediction_dt=cfg.time_step,
+            inflation_radius=inflation,
+            dtype=dtype,
+        )
+
+    build_jit = jax.jit(jax.vmap(build))
+    return build_jit(
+        jnp.asarray(starts, dtype), jnp.asarray(goals, dtype), obs
+    )
+
+
+def free_problems(cfg, batch: int, *, seed: int = 0, dtype=None):
+    """Batched obstacle-free Problems (the round-1 headline scenario set)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .solver.problem import default_problem
+
+    if dtype is None:
+        dtype = jnp.float32
+    rng = np.random.default_rng(seed)
+    starts, goals = sample_endpoints(cfg, batch, rng)
+    return jax.vmap(lambda s, g: default_problem(cfg, s, g, dtype=dtype))(
+        jnp.asarray(starts), jnp.asarray(goals)
+    )

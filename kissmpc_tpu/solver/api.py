@@ -9,9 +9,11 @@ in `kissmpc_tpu.parallel.fleet`.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from ..config import MPCConfig
 from . import ipm
@@ -28,28 +30,68 @@ def make_solver(cfg: MPCConfig):
     return _solve
 
 
-def make_batch_solver(cfg: MPCConfig):
-    """Compiled batched solver: Problem with leading axis [B] -> Solution [B].
-
-    ``cfg.solver.solve_backend == "fused"`` routes to the single-megakernel
-    path on TPU (see SolverConfig for the compile-time tradeoff).
-    """
-    import jax.numpy as jnp
-
+def _dispatch(cfg: MPCConfig, problems: Problem) -> Solution:
+    """Backend dispatch for one batched solve (no refinement, no jit)."""
     use_fused = (
         cfg.solver.solve_backend == "fused"
         and not cfg.solver.elastic_obstacles
         and jax.devices()[0].platform != "cpu"
     )
+    # dtype is static at trace time: the fused kernel is f32-only,
+    # f64 batches take the jnp path.
+    if use_fused and problems.initial_state.dtype == jnp.float32:
+        from ..ops.pallas.ipm_fused import solve_batch_fused
 
-    @jax.jit
-    def _solve(problems: Problem) -> Solution:
-        # dtype is static at trace time: the fused kernel is f32-only,
-        # f64 batches take the jnp path.
-        if use_fused and problems.initial_state.dtype == jnp.float32:
-            from ..ops.pallas.ipm_fused import solve_batch_fused
+        return solve_batch_fused(cfg, problems)
+    return jax.vmap(functools.partial(ipm.solve, cfg))(problems)
 
-            return solve_batch_fused(cfg, problems)
-        return jax.vmap(functools.partial(ipm.solve, cfg))(problems)
 
-    return _solve
+def solve_batch(cfg: MPCConfig, problems: Problem) -> Solution:
+    """Batched solve with optional second-chance refinement.
+
+    When ``cfg.solver.refine_fraction > 0``, the worst fraction of the batch
+    by convergence is gathered into a dense sub-batch, re-solved for
+    ``refine_iterations`` warm-started from its final iterates, and scattered
+    back wherever the re-solve converged and the first pass had not.
+    Scenarios untouched by the refinement come back bit-identical.
+
+    Trace-time branch only (`refine_fraction` is static config); call under
+    `jax.jit` (or use `make_batch_solver`).
+    """
+    sol = _dispatch(cfg, problems)
+    frac = cfg.solver.refine_fraction
+    if frac <= 0.0:
+        return sol
+    B = problems.initial_state.shape[0]
+    n = min(B, max(1, int(round(B * frac))))
+    score = 1.0 - sol.diagnostics.converged.astype(jnp.float32)
+    _, idx = jax.lax.top_k(score, n)  # non-converged first
+    sub = jax.tree.map(lambda x: x[idx], problems)
+    sub = sub._replace(
+        warm_states=sol.states[idx], warm_controls=sol.controls[idx]
+    )
+    cfg2 = cfg.replace(
+        solver=dataclasses.replace(
+            cfg.solver,
+            iterations=cfg.solver.refine_iterations,
+            refine_fraction=0.0,
+        )
+    )
+    sol2 = _dispatch(cfg2, sub)
+    take = sol2.diagnostics.converged & ~sol.diagnostics.converged[idx]
+
+    def merge(full, new):
+        t = take.reshape(take.shape + (1,) * (new.ndim - 1))
+        return full.at[idx].set(jnp.where(t, new, full[idx]))
+
+    return jax.tree.map(merge, sol, sol2)
+
+
+def make_batch_solver(cfg: MPCConfig):
+    """Compiled batched solver: Problem with leading axis [B] -> Solution [B].
+
+    ``cfg.solver.solve_backend == "fused"`` routes to the single-megakernel
+    path on TPU (see SolverConfig for the compile-time tradeoff);
+    ``cfg.solver.refine_fraction`` adds the second-chance tail re-solve.
+    """
+    return jax.jit(functools.partial(solve_batch, cfg))

@@ -1,8 +1,11 @@
 """One-off TPU tuning sweep for the fused IPM kernel.
 
-Measures throughput + converged fraction for a handful of candidate
-configurations against the current default (BT=128, ls=4, 32 iters).
-Run on the real chip:  python scripts/sweep_tpu.py
+Measures throughput + converged fraction for one candidate configuration.
+Run on the real chip:
+
+  python scripts/sweep_tpu.py NAME BT LS_ITERS ITERATIONS [BATCH]
+
+e.g.  python scripts/sweep_tpu.py default 128 4 32 8192
 """
 
 import dataclasses
@@ -22,15 +25,16 @@ def run_variant(name, bt, ls_iters, iterations, batch=8192):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from kissmpc_tpu import MPCConfig
-    from kissmpc_tpu.ops.pallas import ipm_fused
     from kissmpc_tpu.solver.api import make_batch_solver
     from __graft_entry__ import _example_problems
 
-    ipm_fused.BT = bt
+    # The tile size is threaded through the static config (mutating the
+    # module-level BT has no effect once defaults are bound).
     cfg = MPCConfig(horizon=50, time_step=0.041)
     cfg = cfg.replace(
         solver=dataclasses.replace(
-            cfg.solver, iterations=iterations, ls_iters=ls_iters
+            cfg.solver, iterations=iterations, ls_iters=ls_iters,
+            fused_block=bt,
         )
     )
     problems = _example_problems(cfg, batch=batch, dtype=jnp.float32)

@@ -1,0 +1,100 @@
+"""Scenario generation + second-chance refinement.
+
+The obstacle scenario generator must produce *feasible* NLPs (pinned start
+clear of every obstacle track — an infeasible start benchmarks the generator,
+not the solver), and `solve_batch` with ``refine_fraction`` must strictly
+improve convergence while leaving untouched scenarios bit-identical.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kissmpc_tpu import MPCConfig
+from kissmpc_tpu.scenarios import free_problems, obstacle_problems
+from kissmpc_tpu.solver.api import make_batch_solver
+
+
+def _cfg(**kw):
+    base = MPCConfig(horizon=16, time_step=0.1, max_obstacles=4)
+    if kw:
+        base = base.replace(solver=dataclasses.replace(base.solver, **kw))
+    return base
+
+
+def test_obstacle_scenarios_start_feasible():
+    cfg = _cfg()
+    B = 64
+    problems = obstacle_problems(cfg, B, seed=3, n_dynamic=2)
+    # stay-at-start clearance: min over (t, k) of |start - track| - r - infl
+    p0 = np.asarray(problems.initial_state)[:, None, None, :2]
+    tr = np.swapaxes(np.asarray(problems.obstacle_centers), 1, 2)  # [B,N,K,2]
+    sd = (
+        np.linalg.norm(tr - p0, axis=-1)
+        - np.asarray(problems.obstacle_radii)[:, None, :]
+        - np.asarray(problems.inflation_radius)[:, None, None]
+    )
+    mask = np.asarray(problems.obstacle_mask)[:, None, :] > 0.5
+    sd = np.where(mask, sd, np.inf)
+    assert sd.min() > 0.1, f"start swept by an obstacle track: {sd.min()}"
+
+
+def test_obstacle_scenarios_warm_start_feasible():
+    cfg = _cfg()
+    problems = obstacle_problems(cfg, 32, seed=1, n_dynamic=2)
+    # the completed warm start must have zero defects and clearance >= 0
+    from kissmpc_tpu.models import unicycle
+
+    d = jax.vmap(
+        lambda s, c: unicycle.defects(s, c, cfg.time_step)
+    )(problems.warm_states, problems.warm_controls)
+    assert float(jnp.max(jnp.abs(d))) < 1e-5
+    p = np.asarray(problems.warm_states)[:, 1:, :2]
+    tr = np.swapaxes(np.asarray(problems.obstacle_centers), 1, 2)
+    sd = (
+        np.linalg.norm(p[:, :, None, :] - tr, axis=-1)
+        - np.asarray(problems.obstacle_radii)[:, None, :]
+        - np.asarray(problems.inflation_radius)[:, None, None]
+    )
+    mask = np.asarray(problems.obstacle_mask)[:, None, :] > 0.5
+    sd = np.where(mask, sd, np.inf)
+    assert sd.min() > -1e-4, f"warm start violates clearance: {sd.min()}"
+
+
+def test_refine_improves_convergence_and_preserves_rest():
+    B = 32
+    base = _cfg(iterations=8)
+    problems = obstacle_problems(base, B, seed=0, n_dynamic=1)
+    sol0 = make_batch_solver(base)(problems)
+    c0 = np.asarray(sol0.diagnostics.converged)
+    assert not c0.all(), "need a non-trivial tail for this test"
+
+    cfg_r = _cfg(iterations=8, refine_fraction=0.5, refine_iterations=24)
+    sol_r = make_batch_solver(cfg_r)(problems)
+    c_r = np.asarray(sol_r.diagnostics.converged)
+    assert c_r.sum() > c0.sum(), (c0.sum(), c_r.sum())
+    # every scenario converged in pass 1 stays bit-identical
+    same = np.all(
+        np.asarray(sol_r.controls) == np.asarray(sol0.controls), axis=(1, 2)
+    )
+    assert same[c0].all()
+    # refinement never un-converges anything
+    assert (c_r | ~c0).all()
+
+
+def test_refine_noop_when_all_converged():
+    cfg = MPCConfig(horizon=12, time_step=0.1)
+    cfg_r = cfg.replace(
+        solver=dataclasses.replace(
+            cfg.solver, refine_fraction=0.25, refine_iterations=8
+        )
+    )
+    problems = free_problems(cfg, 16, seed=0)
+    sol0 = make_batch_solver(cfg)(problems)
+    assert bool(jnp.all(sol0.diagnostics.converged))
+    sol_r = make_batch_solver(cfg_r)(problems)
+    np.testing.assert_array_equal(
+        np.asarray(sol_r.controls), np.asarray(sol0.controls)
+    )
