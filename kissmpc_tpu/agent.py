@@ -129,14 +129,15 @@ def reset(
     return new
 
 
-def step(
+def build_problem(
     cfg: MPCConfig,
     params: AgentParams,
     agent: AgentState,
     obstacles: Optional[ObstacleSet] = None,
     state_override: bool = False,
-) -> Tuple[AgentState, Diagnostics]:
-    """One receding-horizon tick (`EgoAgent.step`, `mpc/agent.py:130-155`).
+) -> Problem:
+    """Problem construction for one tick: sensor filter, track prediction,
+    warm-start repair/completion (`mpc/agent.py:139-152` data flow).
 
     ``state_override=True`` plans from ``initial_state`` (the odometry pose)
     instead of the advanced plan column — the deployment path the ROS node
@@ -152,7 +153,7 @@ def step(
         from .obstacles import empty
 
         obstacles = empty(cfg.max_obstacles, dtype)
-    problem = problem_with_obstacles(
+    return problem_with_obstacles(
         cfg,
         start,
         agent.goal_state,
@@ -165,13 +166,19 @@ def step(
         warm_controls=agent.controls_matrix,
         dtype=dtype,
     )
-    sol = ipm.solve(cfg, problem)
 
-    # Failure policy (SURVEY.md section 5.3): the reference applies whatever
-    # a failed IPOPT solve returns (`mpc/agent.py:139-155`).  Here a solve
-    # whose equality/constraint residual is unusable falls back to the
-    # previous plan *shifted by one step* — the robot keeps executing the
-    # last good trajectory instead of garbage.
+
+def apply_solution(
+    params: AgentParams, agent: AgentState, sol
+) -> Tuple[AgentState, Diagnostics]:
+    """Post-solve agent update with the failure policy (SURVEY.md 5.3).
+
+    The reference applies whatever a failed IPOPT solve returns
+    (`mpc/agent.py:139-155`).  Here a solve whose equality/constraint
+    residual is unusable falls back to the previous plan *shifted by one
+    step* — the robot keeps executing the last good trajectory instead of
+    garbage.
+    """
     bad = sol.diagnostics.kkt_feasibility > params.fallback_feasibility
     shifted_states = jnp.concatenate(
         [agent.states_matrix[1:], agent.states_matrix[-1:]], axis=0
@@ -188,3 +195,21 @@ def step(
         angular_velocity=pick(sol.controls[0, 1], shifted_controls[0, 1]),
     )
     return new, sol.diagnostics
+
+
+def step(
+    cfg: MPCConfig,
+    params: AgentParams,
+    agent: AgentState,
+    obstacles: Optional[ObstacleSet] = None,
+    state_override: bool = False,
+) -> Tuple[AgentState, Diagnostics]:
+    """One receding-horizon tick (`EgoAgent.step`, `mpc/agent.py:130-155`).
+
+    Single-scenario path (jnp solver).  Fleets should batch the tick through
+    `environment.fleet_step`, which routes all solves through the fused
+    TPU kernel via `solver.api.solve_batch`.
+    """
+    problem = build_problem(cfg, params, agent, obstacles, state_override)
+    sol = ipm.solve(cfg, problem)
+    return apply_solution(params, agent, sol)

@@ -86,7 +86,13 @@ def step(
         obstacles = empty(cfg.max_obstacles, env.agent.states_matrix.dtype)
 
     new_agent, diag = agent_mod.step(cfg, params, env.agent, obstacles)
+    return _advance_waypoint(params, env, new_agent, diag)
 
+
+def _advance_waypoint(
+    params: AgentParams, env: EnvState, new_agent, diag
+) -> Tuple[EnvState, StepInfo]:
+    """Post-solve waypoint bookkeeping (`mpc/environment.py:77-80`)."""
     reached = agent_mod.at_goal(params, new_agent)
     is_last = env.waypoint_index >= env.waypoints.shape[0] - 1
     advance = reached & ~is_last
@@ -107,6 +113,41 @@ def step(
         waypoint_index=new_index,
     )
     return new_env, info
+
+
+def fleet_step(
+    cfg: MPCConfig,
+    params: AgentParams,
+    env: EnvState,
+    obstacles: Optional[ObstacleSet] = None,
+) -> Tuple[EnvState, StepInfo]:
+    """One tick for a *batch* of episodes (leading axis B on every leaf).
+
+    Identical semantics to `step` per episode, but the B solves run as one
+    batched `solver.api.solve_batch` call — on TPU that is the fused Pallas
+    megakernel (+ optional tail refinement) instead of B vmapped jnp solves.
+    This is the config-5 production path (BASELINE.md: batched fleet
+    planning): problem construction and waypoint bookkeeping vmap around the
+    one dense solve.
+    """
+    from .solver.api import solve_batch
+
+    if obstacles is None:
+        B = env.waypoint_index.shape[0]
+        obstacles = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+            empty(cfg.max_obstacles, env.agent.states_matrix.dtype),
+        )
+    problems = jax.vmap(
+        lambda a, o: agent_mod.build_problem(cfg, params, a, o)
+    )(env.agent, obstacles)
+    sol = solve_batch(cfg, problems)
+    new_agents, diag = jax.vmap(
+        lambda a, s: agent_mod.apply_solution(params, a, s)
+    )(env.agent, sol)
+    return jax.vmap(
+        lambda e, a, d: _advance_waypoint(params, e, a, d)
+    )(env, new_agents, diag)
 
 
 def run_episode(

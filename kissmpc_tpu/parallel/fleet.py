@@ -78,6 +78,44 @@ def make_fleet_solver(cfg: MPCConfig, mesh: Mesh, axis_name: str = "data"):
     return jax.jit(sharded)
 
 
+def make_fleet_env_stepper(cfg: MPCConfig, params, mesh: Mesh,
+                           axis_name: str = "data"):
+    """Compiled sharded episode tick: (EnvState[B], ObstacleSet[B]) ->
+    (EnvState[B], StepInfo[B], FleetMetrics).
+
+    Config 5 of BASELINE.md: thousands of concurrent receding-horizon
+    episodes, each tick one fused batched solve per device shard plus the
+    ICI metric reduction.  Semantics per episode match `environment.step`.
+    """
+    from .. import environment as env_mod
+
+    def _local(env, obstacles):
+        new_env, info = env_mod.fleet_step(cfg, params, env, obstacles)
+        d = info.diagnostics
+        metrics = FleetMetrics(
+            converged_fraction=jax.lax.pmean(
+                jnp.mean(d.converged.astype(jnp.float32)), axis_name
+            ),
+            max_kkt_stationarity=jax.lax.pmax(
+                jnp.max(d.kkt_stationarity), axis_name
+            ),
+            max_kkt_feasibility=jax.lax.pmax(
+                jnp.max(d.kkt_feasibility), axis_name
+            ),
+            mean_cost=jax.lax.pmean(jnp.mean(d.final_cost), axis_name),
+        )
+        return new_env, info, metrics
+
+    sharded = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def shard_problems(problems: Problem, mesh: Mesh, axis_name: str = "data") -> Problem:
     """Device-put a batched Problem with its leading axis sharded on the mesh."""
     sharding = NamedSharding(mesh, P(axis_name))

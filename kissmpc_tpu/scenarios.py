@@ -177,6 +177,80 @@ def obstacle_problems(
     )
 
 
+def episode_worlds(
+    cfg,
+    batch: int,
+    *,
+    n_waypoints: int = 3,
+    seed: int = 0,
+    n_dynamic: int = 2,
+    inflation: float = DEFAULT_INFLATION,
+    dtype=None,
+):
+    """Batched receding-horizon episode worlds for the fleet-episode bench
+    (config 5 of BASELINE.md): per episode, a start pose, a waypoint chain of
+    reachable hops, and an obstacle field seeded along the first leg.
+
+    Returns ``(env: EnvState[B], obstacles: ObstacleSet[B])`` ready for
+    `environment.fleet_step` / `parallel.fleet.make_fleet_env_stepper`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import environment as env_mod
+    from .obstacles.obstacles import ObstacleSet
+
+    if dtype is None:
+        dtype = jnp.float32
+    K = cfg.max_obstacles
+    rng = np.random.default_rng(seed)
+    starts, first_goal = sample_endpoints(cfg, batch, rng)
+
+    # Waypoint chain: first hop = sampled goal, further hops random steps of
+    # comparable length (a decimated global plan, `ros2interface.py:155-170`).
+    reach = cfg.horizon * cfg.time_step * 0.5
+    hops = [first_goal]
+    for _ in range(n_waypoints - 1):
+        r = rng.uniform(0.3 * reach, 1.0 * reach, (batch, 1))
+        ang = rng.uniform(-np.pi, np.pi, (batch, 1))
+        prev = hops[-1]
+        hops.append(
+            np.concatenate(
+                [
+                    prev[:, 0:1] + r * np.cos(ang),
+                    prev[:, 1:2] + r * np.sin(ang),
+                    rng.uniform(-3.1, 3.1, (batch, 1)),
+                ],
+                axis=1,
+            ).astype(np.float32)
+        )
+    waypoints = np.stack(hops, axis=1)  # [B, W, 3]
+
+    if K > 0:
+        centers, radii, orientation, v = sample_obstacle_field(
+            starts, first_goal, K, rng, n_dynamic=n_dynamic,
+            inflation=inflation,
+        )
+        obstacles = ObstacleSet(
+            position=jnp.asarray(centers, dtype),
+            radius=jnp.asarray(radii, dtype),
+            orientation=jnp.asarray(orientation, dtype),
+            linear_velocity=jnp.asarray(v, dtype),
+            angular_velocity=jnp.zeros((batch, K), dtype),
+            active=jnp.ones((batch, K), dtype),
+        )
+    else:
+        from .obstacles import empty
+
+        obstacles = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), empty(0, dtype)
+        )
+    env = jax.vmap(
+        lambda s, w: env_mod.init_env(cfg, s, w, dtype=dtype)
+    )(jnp.asarray(starts, dtype), jnp.asarray(waypoints, dtype))
+    return env, obstacles
+
+
 def free_problems(cfg, batch: int, *, seed: int = 0, dtype=None):
     """Batched obstacle-free Problems (the round-1 headline scenario set)."""
     import jax

@@ -11,8 +11,11 @@ Run (background, generous timeout — remote compile takes minutes):
 
 import dataclasses
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
