@@ -115,6 +115,43 @@ def test_as_written_linear_reverse_penalty_nondegenerate():
     assert err <= PARITY_TOL, f"max|u - u_oracle| = {err:.2e}"
 
 
+@pytest.mark.parametrize(
+    "start,goal",
+    [
+        ((0.0, 0.0, 0.0), (1.5, 0.2, 0.0)),
+        ((0.3, -0.4, 1.0), (-0.5, 0.5, -1.0)),
+    ],
+)
+def test_float32_n50_production_config(start, goal):
+    # Production dtype + horizon with the DEFAULT solver config (no relaxed
+    # tolerances): must report convergence via the dtype-aware KKT floor and
+    # match the oracle within the 1e-3 budget (VERDICT r1 item 9a).
+    cfg = MPCConfig(horizon=50, time_step=0.041)
+    solver = make_solver(cfg)
+    problem = default_problem(
+        cfg, jnp.asarray(start), jnp.asarray(goal), dtype=jnp.float32
+    )
+    sol = solver(problem)
+    assert bool(sol.diagnostics.converged), (
+        f"f32/N=50 default config did not converge: "
+        f"stat={float(sol.diagnostics.kkt_stationarity):.2e} "
+        f"feas={float(sol.diagnostics.kkt_feasibility):.2e}"
+    )
+    X, U_oracle, res = solve_oracle(
+        horizon=cfg.horizon,
+        time_step=cfg.time_step,
+        initial_state=np.asarray(start),
+        goal_state=np.asarray(goal),
+        control_lower=np.asarray(problem.control_lower),
+        control_upper=np.asarray(problem.control_upper),
+        state_lower=np.asarray(problem.state_lower),
+        state_upper=np.asarray(problem.state_upper),
+    )
+    assert res.status in (1, 2), f"oracle failed: {res.message}"
+    err = np.max(np.abs(np.asarray(sol.controls, dtype=np.float64) - U_oracle))
+    assert err <= PARITY_TOL, f"f32/N=50 max|u - u_oracle| = {err:.2e}"
+
+
 def test_float32_parity():
     # f32 (the TPU-native dtype) must stay within the 1e-3 budget too.
     cfg = MPCConfig(horizon=20, time_step=0.1)
