@@ -898,10 +898,14 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
         mu = ipm_mod._adaptive_mu(cfg, it, masks, f32)
         return ipm_mod._diagnostics(cfg, problem_i, it, mu)
 
-    diag = jax.vmap(diag_one)(
-        states, controls,
-        (s_cl, s_cu, s_xl, s_xu, s_ob_b, nu_cl, nu_cu, nu_xl, nu_xu,
-         nu_ob_b),
-        problems,
-    )
+    # Full-precision matmuls for the KKT residual sweep: the TPU bf16
+    # default corrupts the adjoint recursion and misreports convergence
+    # (see solver/ipm.py::solve).
+    with jax.default_matmul_precision("float32"):
+        diag = jax.vmap(diag_one)(
+            states, controls,
+            (s_cl, s_cu, s_xl, s_xu, s_ob_b, nu_cl, nu_cu, nu_xl, nu_xu,
+             nu_ob_b),
+            problems,
+        )
     return Solution(states=states, controls=controls, diagnostics=diag)
