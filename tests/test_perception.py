@@ -257,3 +257,104 @@ def test_detector_feeds_pipeline():
         dt=0.1,
     )
     assert float(jnp.sum(obstacles.active)) == 1.0
+
+
+def test_real_torch_segnet_instances():
+    # A real conv network (not a hand-built fake) through the adapter:
+    # TinySegNet's forward actually convolves, thresholds, and floods
+    # connected components on the GPU-style maxpool trick.
+    torch = pytest.importorskip("torch")
+    from kissmpc_tpu.perception.detectors import TorchSegmentationAdapter
+    from kissmpc_tpu.perception.segnet import TinySegNet
+
+    H, W = 40, 56
+    img = np.zeros((H, W, 3), np.float32)
+    img[6:16, 8:20] = 1.0  # blob A, 120 px
+    img[24:30, 36:44] = 1.0  # blob B, 48 px
+    det = TorchSegmentationAdapter(
+        TinySegNet.brightness(), max_instances=4
+    )(img)
+    assert det.masks.shape == (4, H, W) and det.masks.dtype == bool
+    assert det.valid.sum() == 2
+    # both blobs recovered exactly; masks disjoint (adapter orders by
+    # score, so compare sizes as a set)
+    sizes = sorted(int(m.sum()) for m in det.masks[:2])
+    assert sizes == [48, 120]
+    assert not np.any(det.masks[0] & det.masks[1])
+
+    # random-weight instance honours the boundary contract too (the
+    # reference's YOLO analogue: shapes/dtypes, not accuracy)
+    torch.manual_seed(0)
+    det_r = TorchSegmentationAdapter(TinySegNet(), max_instances=4)(img)
+    assert det_r.masks.shape == (4, H, W)
+    assert det_r.valid.shape == (4,) and det_r.scores.shape == (4,)
+
+
+def test_real_torch_segnet_to_solver_episode():
+    # Full perception -> planning path with a real torch module:
+    # rendered frame -> TinySegNet -> adapter -> projection/cluster/track ->
+    # ObstacleSet -> problem_with_obstacles -> IPM solve.
+    pytest.importorskip("torch")
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu.perception.detectors import TorchSegmentationAdapter
+    from kissmpc_tpu.perception.segnet import TinySegNet
+    from kissmpc_tpu.solver.api import make_solver
+    from kissmpc_tpu.solver.problem import problem_with_obstacles
+
+    H, W, P = 48, 64, 128
+    intr = Intrinsics(
+        fx=jnp.float32(40.0), fy=jnp.float32(40.0),
+        cx=jnp.float32(W / 2), cy=jnp.float32(H / 2),
+    )
+    eye = SE3(rotation=jnp.eye(3), translation=jnp.zeros(3))
+    geom = FrameGeometry(
+        intrinsics=intr, lidar_to_camera=eye, lidar_to_map=eye,
+        image_width=W, image_height=H,
+    )
+    # "human" 2 m ahead of the sensor, slightly right of center
+    rng = np.random.default_rng(1)
+    pts = np.zeros((P, 3), np.float32)
+    pts[:40, 0] = 0.5 + rng.normal(0, 0.02, 40)  # x (right)
+    pts[:40, 1] = rng.normal(0, 0.02, 40)
+    pts[:40, 2] = 2.0
+    mask = np.zeros(P, bool)
+    mask[:40] = True
+
+    # render the human as a bright patch where it projects (~u = cx + fx*x/z)
+    u0 = int(W / 2 + 40.0 * 0.5 / 2.0)
+    img = np.zeros((H, W, 3), np.float32)
+    img[H // 2 - 6 : H // 2 + 6, u0 - 6 : u0 + 6] = 1.0
+
+    det = TorchSegmentationAdapter(
+        TinySegNet.brightness(), max_instances=2
+    )(img)
+    assert det.valid.sum() == 1
+
+    state = init_perception(capacity=4, dtype=jnp.float32)
+    tcfg = TrackerConfig(min_hits=1)
+    state, obstacles = pipe.step(
+        tcfg, state, geom, jnp.asarray(pts), jnp.asarray(mask),
+        jnp.asarray(det.masks), jnp.asarray(det.valid), dt=0.1,
+    )
+    assert float(jnp.sum(obstacles.active)) == 1.0
+    pos = np.asarray(obstacles.position)[np.asarray(obstacles.active) > 0.5]
+    np.testing.assert_allclose(pos[0], [0.5, 0.0], atol=0.1)
+
+    # plan around the detected human (goal within the horizon's reach and
+    # clear of the inflated circle; the direct path grazes the obstacle)
+    cfg = MPCConfig(horizon=40, time_step=0.1, max_obstacles=4)
+    problem = problem_with_obstacles(
+        cfg,
+        jnp.array([0.0, -0.8, jnp.pi / 2]),
+        jnp.array([1.2, 0.5, jnp.pi / 2]),
+        obstacles,
+        inflation_radius=0.4,
+        dtype=jnp.float64,
+    )
+    sol = make_solver(cfg)(problem)
+    assert bool(sol.diagnostics.converged)
+    # trajectory keeps clear of the tracked human
+    xy = np.asarray(sol.states)[1:, :2]
+    d = np.linalg.norm(xy - pos[0], axis=1)
+    r = float(np.asarray(obstacles.radius).ravel()[0])
+    assert d.min() >= r + 0.4 - 1e-6
