@@ -212,3 +212,104 @@ def test_track_markers_delete_on_vanish():
     assert [m["id"] for m in deletes] == [9]
     ms3 = pub.update([7], np.array([[1.2, 2.2]]))
     assert not [m for m in ms3 if m["action"] == DELETE]
+
+
+# ---------------------------------------------------------------------------
+# Perception-frame record/replay + approximate time sync (BagReader parity,
+# `obstacle_handling/human_tracking.py:46-111,147-152`)
+# ---------------------------------------------------------------------------
+
+
+def test_approx_sync_pairing():
+    from kissmpc_tpu.io.frames import approx_sync
+
+    # jittered 10 Hz streams: every image within 0.03 s of a cloud
+    ts_a = [0.00, 0.10, 0.20, 0.30]
+    ts_b = [0.02, 0.13, 0.18, 0.32]
+    pairs = approx_sync(ts_a, ts_b, slop=0.05)
+    assert pairs == [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+    # out-of-window messages are dropped, each message used at most once
+    pairs = approx_sync([0.0, 1.0], [0.04, 0.06, 5.0], slop=0.1)
+    assert pairs == [(0, 0)]  # nearest wins; 1.0 and 5.0 unmatched
+
+    # empty streams
+    assert approx_sync([], [0.1], slop=0.1) == []
+
+
+def _synthetic_session(tmp_path, n_frames=6, jitter=0.008):
+    """Record a moving human: cloud + detector masks at jittered stamps."""
+    import jax.numpy as jnp
+
+    from kissmpc_tpu.io.frames import FrameRecorder
+    from kissmpc_tpu.perception import SE3, FrameGeometry, Intrinsics
+
+    H, W, P = 48, 64, 128
+    intr = Intrinsics(
+        fx=jnp.float32(40.0), fy=jnp.float32(40.0),
+        cx=jnp.float32(W / 2), cy=jnp.float32(H / 2),
+    )
+    eye = SE3(rotation=jnp.eye(3), translation=jnp.zeros(3))
+    geom = FrameGeometry(
+        intrinsics=intr, lidar_to_camera=eye, lidar_to_map=eye,
+        image_width=W, image_height=H,
+    )
+    rec = FrameRecorder(geom)
+    rng = np.random.default_rng(3)
+    for k in range(n_frames):
+        t = 0.1 * k
+        # human walks +x at 1 m/s, 2 m ahead
+        pts = np.zeros((P, 3), np.float32)
+        pts[:40, 0] = 0.1 * k + rng.normal(0, 0.02, 40)
+        pts[:40, 1] = rng.normal(0, 0.02, 40)
+        pts[:40, 2] = 2.0
+        mask = np.zeros(P, bool)
+        mask[:40] = True
+        seg = np.zeros((2, H, W), bool)
+        seg[0] = True
+        valid = np.array([True, False])
+        rec.record_cloud(t + rng.uniform(-jitter, jitter), pts, mask)
+        rec.record_image(t + rng.uniform(-jitter, jitter), seg, valid)
+    path = str(tmp_path / "session.npz")
+    rec.save(path)
+    return path
+
+
+def test_frame_replay_deterministic(tmp_path):
+    from kissmpc_tpu.io.frames import FrameReplayer, replay_session
+    from kissmpc_tpu.perception import TrackerConfig
+
+    path = _synthetic_session(tmp_path)
+    rep = FrameReplayer(path)
+    assert len(list(rep.synced(slop=0.05))) == 6
+
+    cfg = TrackerConfig(min_hits=1)
+    state1, obs1 = replay_session(rep, cfg, capacity=4, slop=0.05)
+    state2, obs2 = replay_session(FrameReplayer(path), cfg, capacity=4,
+                                  slop=0.05)
+    # deterministic: identical track tables and obstacle streams
+    np.testing.assert_array_equal(
+        np.asarray(state1.tracks.position), np.asarray(state2.tracks.position)
+    )
+    for a, b in zip(obs1, obs2):
+        np.testing.assert_array_equal(np.asarray(a.position),
+                                      np.asarray(b.position))
+    # the tracker recovered the walking human: ~1 m/s in +x
+    active = np.asarray(obs1[-1].active) > 0.5
+    assert active.sum() == 1
+    v = float(np.asarray(obs1[-1].linear_velocity)[np.argmax(active)])
+    assert abs(v - 1.0) < 0.25
+
+
+def test_frame_replay_pacing(tmp_path):
+    from kissmpc_tpu.io.frames import FrameReplayer
+
+    path = _synthetic_session(tmp_path, jitter=0.0)
+    rep = FrameReplayer(path)
+    sleeps = []
+    frames = list(
+        rep.synced(slop=0.05, pace=True, rate=2.0, sleep=sleeps.append)
+    )
+    assert len(frames) == 6
+    # 5 inter-frame gaps of 0.1 s at 2x rate -> 0.05 s sleeps
+    np.testing.assert_allclose(sleeps, [0.05] * 5, atol=1e-9)
