@@ -119,6 +119,17 @@ class SolverConfig:
     # not a per-scenario branch.  0.0 disables.
     refine_fraction: float = 0.0
     refine_iterations: int = 64
+    # Multi-stage refinement: tuple of (fraction, iterations, mu_sigma)
+    # stages applied in order, each re-solving the still-non-converged tail
+    # of the previous stage.  Supersedes refine_fraction/refine_iterations
+    # when non-empty.  The mu_sigma override matters: the hard ~2% of
+    # obstacle scenarios stall precisely because the default centering
+    # (mu_sigma=0.2) outruns the central path on their landscapes — a
+    # final stage at mu_sigma 0.5-0.7 converts ~60% of scenarios that a
+    # same-budget default-schedule re-solve cannot (measured at
+    # N=50/B=2048/K=8: 32it -> 0.710; +64it refine -> 0.975; +96it at
+    # mu_sigma=0.7 -> 0.991).
+    refine_stages: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -46,45 +46,73 @@ def _dispatch(cfg: MPCConfig, problems: Problem) -> Solution:
     return jax.vmap(functools.partial(ipm.solve, cfg))(problems)
 
 
+def _refine_stages(cfg: MPCConfig):
+    """Normalized refinement plan: ((fraction, iterations, mu_sigma), ...).
+
+    ``refine_stages`` wins when set; otherwise the legacy single-stage pair
+    ``refine_fraction``/``refine_iterations`` (at the config's own mu_sigma).
+    """
+    if cfg.solver.refine_stages:
+        return tuple(
+            (float(f), int(it), float(ms))
+            for f, it, ms in cfg.solver.refine_stages
+        )
+    if cfg.solver.refine_fraction > 0.0:
+        return (
+            (
+                cfg.solver.refine_fraction,
+                cfg.solver.refine_iterations,
+                cfg.solver.mu_sigma,
+            ),
+        )
+    return ()
+
+
 def solve_batch(cfg: MPCConfig, problems: Problem) -> Solution:
-    """Batched solve with optional second-chance refinement.
+    """Batched solve with staged second-chance refinement.
 
-    When ``cfg.solver.refine_fraction > 0``, the worst fraction of the batch
-    by convergence is gathered into a dense sub-batch, re-solved for
-    ``refine_iterations`` warm-started from its final iterates, and scattered
-    back wherever the re-solve converged and the first pass had not.
-    Scenarios untouched by the refinement come back bit-identical.
+    Each refinement stage gathers the worst ``fraction`` of the batch by
+    convergence into a dense sub-batch, re-solves it for ``iterations``
+    more iterations at the stage's ``mu_sigma`` — warm-started from the
+    current iterates, with the restart's dual/slack re-centering acting as
+    the perturbation that unsticks merit-stalled scenarios — and scatters
+    back wherever the re-solve converged and the running solution had not.
+    Scenarios untouched by refinement come back bit-identical.  Stage list
+    comes from ``cfg.solver.refine_stages`` (or the legacy
+    ``refine_fraction``/``refine_iterations`` pair); see SolverConfig for
+    why late stages slow the barrier schedule.
 
-    Trace-time branch only (`refine_fraction` is static config); call under
-    `jax.jit` (or use `make_batch_solver`).
+    Trace-time loop only (the plan is static config); call under `jax.jit`
+    (or use `make_batch_solver`).
     """
     sol = _dispatch(cfg, problems)
-    frac = cfg.solver.refine_fraction
-    if frac <= 0.0:
-        return sol
     B = problems.initial_state.shape[0]
-    n = min(B, max(1, int(round(B * frac))))
-    score = 1.0 - sol.diagnostics.converged.astype(jnp.float32)
-    _, idx = jax.lax.top_k(score, n)  # non-converged first
-    sub = jax.tree.map(lambda x: x[idx], problems)
-    sub = sub._replace(
-        warm_states=sol.states[idx], warm_controls=sol.controls[idx]
-    )
-    cfg2 = cfg.replace(
-        solver=dataclasses.replace(
-            cfg.solver,
-            iterations=cfg.solver.refine_iterations,
-            refine_fraction=0.0,
+    for frac, iters, mu_sigma in _refine_stages(cfg):
+        n = min(B, max(1, int(round(B * frac))))
+        score = 1.0 - sol.diagnostics.converged.astype(jnp.float32)
+        _, idx = jax.lax.top_k(score, n)  # non-converged first
+        sub = jax.tree.map(lambda x: x[idx], problems)
+        sub = sub._replace(
+            warm_states=sol.states[idx], warm_controls=sol.controls[idx]
         )
-    )
-    sol2 = _dispatch(cfg2, sub)
-    take = sol2.diagnostics.converged & ~sol.diagnostics.converged[idx]
+        cfg2 = cfg.replace(
+            solver=dataclasses.replace(
+                cfg.solver,
+                iterations=iters,
+                mu_sigma=mu_sigma,
+                refine_fraction=0.0,
+                refine_stages=(),
+            )
+        )
+        sol2 = _dispatch(cfg2, sub)
+        take = sol2.diagnostics.converged & ~sol.diagnostics.converged[idx]
 
-    def merge(full, new):
-        t = take.reshape(take.shape + (1,) * (new.ndim - 1))
-        return full.at[idx].set(jnp.where(t, new, full[idx]))
+        def merge(full, new, take=take, idx=idx):
+            t = take.reshape(take.shape + (1,) * (new.ndim - 1))
+            return full.at[idx].set(jnp.where(t, new, full[idx]))
 
-    return jax.tree.map(merge, sol, sol2)
+        sol = jax.tree.map(merge, sol, sol2)
+    return sol
 
 
 def make_batch_solver(cfg: MPCConfig):

@@ -98,3 +98,33 @@ def test_refine_noop_when_all_converged():
     np.testing.assert_array_equal(
         np.asarray(sol_r.controls), np.asarray(sol0.controls)
     )
+
+
+def test_refine_stages_chain():
+    # staged refinement strictly improves on the single stage and preserves
+    # already-converged scenarios bit-identically
+    B = 32
+    base = _cfg(iterations=8)
+    problems = obstacle_problems(base, B, seed=0, n_dynamic=1)
+    sol0 = make_batch_solver(base)(problems)
+    c0 = np.asarray(sol0.diagnostics.converged)
+
+    cfg_s = _cfg(
+        iterations=8,
+        refine_stages=((0.5, 16, 0.2), (0.25, 24, 0.7)),
+    )
+    sol_s = make_batch_solver(cfg_s)(problems)
+    c_s = np.asarray(sol_s.diagnostics.converged)
+    assert c_s.sum() > c0.sum()
+    # the 1-stage prefix of the chain is bounded by the 2-stage chain
+    cfg_1 = _cfg(iterations=8, refine_stages=((0.5, 16, 0.2),))
+    c_1 = np.asarray(
+        make_batch_solver(cfg_1)(problems).diagnostics.converged
+    )
+    assert c_s.sum() >= c_1.sum()
+    # stage list supersedes the legacy pair
+    same = np.all(
+        np.asarray(sol_s.controls) == np.asarray(sol0.controls), axis=(1, 2)
+    )
+    assert same[c0].all()
+    assert (c_s | ~c0).all()
