@@ -1,7 +1,14 @@
 """Headline benchmark: batched MPC solves/sec/chip at N=50.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
+
+`value` is the obstacle-free headline throughput (batch / median latency over
+many distinct problem batches).  `extra` carries the full latency
+distribution (p50/p99/mean over >=50 timed solver calls on distinct
+batches), the converged fraction, and the same measurements for the
+obstacle-laden production config (K=8 circles + dynamic tracks — the
+reference's actual workload, `mpc/optimizer.py:198-258`).
 
 The reference publishes no benchmark numbers (BASELINE.md); its implied
 real-time envelope is the research config's replanning budget — one IPOPT
@@ -11,12 +18,67 @@ engine's batched throughput per chip to that 24.4 solves/sec budget: how many
 reference robots one chip can replan for in real time.
 """
 
+import dataclasses
 import json
 import time
 
 import numpy as np
 
 BASELINE_SOLVES_PER_SEC = 1.0 / 0.041  # implied reference budget (24.39 Hz)
+
+BATCH = 8192
+POOL = 16384  # distinct scenarios to draw timed batches from
+CALLS = 50  # timed solver calls, each on a distinct batch composition
+
+# Staged tail refinement (see SolverConfig.refine_stages): measured CPU
+# B=2048 convergence 0.997 (K=0) / 0.991 (K=8) vs 0.967 / 0.710 unrefined.
+STAGES_FREE = ((0.05, 64, 0.2),)
+STAGES_OBST = ((0.32, 64, 0.2), (0.04, 96, 0.7), (0.02, 128, 0.5))
+
+
+def _bench_config(jnp, jax, cfg, problems_pool, rng):
+    """Time CALLS distinct-batch solves; return stats dict."""
+    from kissmpc_tpu.solver.api import make_batch_solver
+
+    solver = make_batch_solver(cfg)
+    pool_n = problems_pool.initial_state.shape[0]
+
+    def batch_at(perm):
+        idx = jnp.asarray(perm)
+        return jax.tree.map(lambda x: x[idx], problems_pool)
+
+    # Warm-up / compile on one batch.
+    first = batch_at(rng.permutation(pool_n)[:BATCH])
+    t0 = time.time()
+    sol = solver(first)
+    float(jnp.sum(sol.controls))  # value-sync fence (reliable across PJRT)
+    compile_s = time.time() - t0
+
+    lat = []
+    conv = []
+    for _ in range(CALLS):
+        batch = batch_at(rng.permutation(pool_n)[:BATCH])
+        jax.block_until_ready(batch)
+        t0 = time.perf_counter()
+        sol = solver(batch)
+        float(jnp.sum(sol.controls))
+        lat.append(time.perf_counter() - t0)
+        conv.append(
+            float(jnp.mean(sol.diagnostics.converged.astype(jnp.float32)))
+        )
+    lat_ms = np.asarray(lat) * 1e3
+    p50 = float(np.percentile(lat_ms, 50))
+    return {
+        "batch": BATCH,
+        "calls": CALLS,
+        "solves_per_s": round(BATCH / (p50 / 1e3), 1),
+        "latency_p50_ms": round(p50, 2),
+        "latency_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "latency_mean_ms": round(float(lat_ms.mean()), 2),
+        "latency_max_ms": round(float(lat_ms.max()), 2),
+        "converged_fraction": round(float(np.mean(conv)), 4),
+        "compile_s": round(compile_s, 1),
+    }
 
 
 def main():
@@ -29,58 +91,43 @@ def main():
     import jax.numpy as jnp
 
     from kissmpc_tpu import MPCConfig
-    from kissmpc_tpu.solver.api import make_batch_solver
-    from __graft_entry__ import _example_problems
+    from kissmpc_tpu.scenarios import free_problems, obstacle_problems
 
-    import dataclasses
+    rng = np.random.default_rng(0)
 
-    # Benchmark configuration: N=50 research horizon; 32 IPM iterations is
-    # the measured sweet spot (highest converged fraction AND throughput on
-    # the random receding-horizon scenario set — extra iterations past ~30
-    # no longer improve f32 convergence); B=8192 saturates the chip.
-    cfg = MPCConfig(horizon=50, time_step=0.041)
-    cfg = cfg.replace(
-        solver=dataclasses.replace(cfg.solver, iterations=32)
+    # --- headline: obstacle-free, N=50, f32, staged refine ---
+    cfg0 = MPCConfig(horizon=50, time_step=0.041)
+    cfg0 = cfg0.replace(
+        solver=dataclasses.replace(
+            cfg0.solver, iterations=32, refine_stages=STAGES_FREE
+        )
     )
-    batch = 8192
-    problems = _example_problems(cfg, batch=batch, dtype=jnp.float32)
-    solver = make_batch_solver(cfg)
+    pool0 = free_problems(cfg0, POOL, seed=0)
+    head = _bench_config(jnp, jax, cfg0, pool0, rng)
 
-    def run_once():
-        sol = solver(problems)
-        # Sync by value: pulling a scalar to the host is the only fence that
-        # is reliable across PJRT transports (block_until_ready on a remote
-        # backend can return before execution completes).
-        float(jnp.sum(sol.controls))
-        return sol
+    # --- production obstacle config: K=8 circles, 2 dynamic tracks ---
+    cfgK = MPCConfig(horizon=50, time_step=0.041, max_obstacles=8)
+    cfgK = cfgK.replace(
+        solver=dataclasses.replace(
+            cfgK.solver, iterations=32, refine_stages=STAGES_OBST
+        )
+    )
+    poolK = obstacle_problems(cfgK, POOL, seed=0, n_dynamic=2)
+    obst = _bench_config(jnp, jax, cfgK, poolK, rng)
 
-    # Warm-up / compile.
-    sol = run_once()
-
-    # Steady state: several timed repetitions, take the best (device-bound).
-    reps = 5
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        sol = run_once()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    solves_per_sec = batch / dt
-
-    conv = float(jnp.mean(sol.diagnostics.converged.astype(jnp.float32)))
-    backend = cfg.solver.solve_backend
     result = {
         "metric": (
-            f"MPC solves/sec/chip (N=50, batch={batch}, f32, 32 IPM iters, "
-            f"{backend} backend)"
+            f"MPC solves/sec/chip (N=50, batch={BATCH}, f32, 32+staged-"
+            f"refine IPM iters, fused backend)"
         ),
-        "value": round(solves_per_sec, 1),
+        "value": head["solves_per_s"],
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 1),
+        "vs_baseline": round(
+            head["solves_per_s"] / BASELINE_SOLVES_PER_SEC, 1
+        ),
         "extra": {
-            "batch": batch,
-            "latency_ms": round(dt * 1e3, 2),
-            "converged_fraction": round(conv, 4),
+            "headline_free": head,
+            "obstacles_k8_dyn2": obst,
             "device": str(jax.devices()[0]),
         },
     }
