@@ -136,3 +136,45 @@ class ControlLoop:
         while stop is None or not stop():
             self.tick()
             timer.sleep()
+
+
+class NativeLatestValue:
+    """`LatestValue` backed by the native seqlock mailbox (C++).
+
+    Drop-in for fixed-shape numpy payloads (odometry vectors, plan arrays):
+    `publish`/`read` match `LatestValue`'s contract, but the producer never
+    blocks and the payload copy runs lock-free outside the GIL
+    (`native/mailbox.cpp`) — the real-time analogue of the reference's
+    depth-1 DDS subscriptions.  Use `create`; ``None`` means no native
+    toolchain (fall back to `LatestValue`).
+    """
+
+    def __init__(self, mailbox, shape):
+        self._mb = mailbox
+        self._shape = tuple(shape)
+
+    @staticmethod
+    def create(shape) -> Optional["NativeLatestValue"]:
+        import numpy as np
+
+        from ..native import Mailbox
+
+        size = int(np.prod(shape)) if shape else 1
+        mb = Mailbox.create(size)
+        return None if mb is None else NativeLatestValue(mb, shape)
+
+    def publish(self, value) -> None:
+        import numpy as np
+
+        arr = np.asarray(value, dtype=np.float64)
+        assert arr.shape == self._shape, (arr.shape, self._shape)
+        self._mb.publish(arr)
+
+    def read(self):
+        flat, version = self._mb.read()
+        if flat is None:
+            return None, 0
+        return flat.reshape(self._shape), version
+
+    def close(self) -> None:
+        self._mb.close()
