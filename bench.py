@@ -96,10 +96,14 @@ def main():
     rng = np.random.default_rng(0)
 
     # --- headline: obstacle-free, N=50, f32, staged refine ---
+    # fused_sublanes=2 (bt=256 as (2, 128) sub-blocks): +6% measured on the
+    # obstacle-free config (sweep_sublanes.py); K=8 exceeds VMEM at bt=256
+    # so the obstacle config stays at the flat default.
     cfg0 = MPCConfig(horizon=50, time_step=0.041)
     cfg0 = cfg0.replace(
         solver=dataclasses.replace(
-            cfg0.solver, iterations=32, refine_stages=STAGES_FREE
+            cfg0.solver, iterations=32, refine_stages=STAGES_FREE,
+            fused_block=256, fused_sublanes=2,
         )
     )
     pool0 = free_problems(cfg0, POOL, seed=0)

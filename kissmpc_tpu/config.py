@@ -107,6 +107,14 @@ class SolverConfig:
     # the measured default (`ops/pallas/ipm_fused.BT`); smaller tiles trade
     # throughput for VMEM headroom (large K needs it).
     fused_block: int = 0
+    # Sublane sub-blocks per fused-kernel program (scenarios per program =
+    # fused_block; lanes = fused_block / fused_sublanes).  >1 packs the
+    # sequential Riccati sweep's per-time rows into (sb, 128) values so each
+    # sweep op uses sb of the VPU's 8 sublanes instead of 1, at the cost of
+    # real sublane copies wherever a per-scenario scalar row meets a family
+    # block (free broadcasting only exists at sb=1).  0 = the measured
+    # module default (`ops/pallas/ipm_fused.SB`).
+    fused_sublanes: int = 0
     # Second-chance refinement (batched solves only): after the fixed
     # iteration budget, gather the worst ``refine_fraction`` of the batch by
     # convergence, re-solve them for ``refine_iterations`` more iterations

@@ -19,12 +19,24 @@ Specializations relative to the generic path:
    (default 4, `config.py`) with whole-array trial evaluations inside the
    kernel.
 
+Sublane packing (``sb``): with ``sb == 1`` every per-scenario quantity is a
+``[rows, BT]`` plane whose sequential-sweep rows are (1, BT) values — at
+BT=128 each sweep op uses 1 of the VPU's 8 sublanes.  ``sb > 1`` packs ``sb``
+scenario sub-blocks into the sublane dimension: a program covers
+``bt = sb * lanes`` scenarios laid out so logical row r of sub-block s lives
+at physical row ``r*sb + s``; every sweep row becomes an (sb, lanes) value
+and the sequential Riccati sweep's vreg-op count drops ~sb-fold.  Scalar-
+per-scenario rows become (sb, lanes) and are tiled (period-sb, a real copy —
+not Mosaic's free native replication) onto family blocks where broadcasting
+would have been free at sb=1; loop-invariant tiles are hoisted out of the
+iteration body.
+
 Algorithmic content is identical to `solver/ipm.py` (same merit, fraction-
 to-boundary, adaptive mu/rho/regularization, dual clamp); that jnp path is
 the oracle for this kernel's tests.  Same-named quantities follow SURVEY.md
 citations given there.
 
-Batch: grid over scenario tiles of BT = 512 lanes; everything [rows, BT].
+Batch: grid over scenario tiles of BT scenarios; everything [rows*sb, lanes].
 f32 only (the TPU production dtype).
 """
 
@@ -42,26 +54,44 @@ from ...config import MPCConfig
 from ...solver.problem import Problem
 
 BT = 128  # scenarios per program; measured fastest (256: -9%; 512: VMEM OOM)
+SB = 1  # sublane sub-blocks per program (scenarios = lanes * SB)
 
 _F32_FLOOR = 1e-10
 _SIGMA_MAX = 1e12
 _KAPPA = 1e10
 
 
-def _reduce_min(x):
-    return jnp.min(x, axis=0, keepdims=True)  # [rows, BT] -> [1, BT]
+def _tree_reduce(x, op, sb):
+    """Reduce over logical rows of an interleaved [R*sb, L] block -> [sb, L].
 
-
-def _reduce_sum(x):
-    return jnp.sum(x, axis=0, keepdims=True)
-
-
-def _reduce_max(x):
-    return jnp.max(x, axis=0, keepdims=True)
+    SB-aligned halving (contiguous slices only — Mosaic has no strided value
+    slices); odd leftovers fold into a side carry.  For sb == 1 the plain
+    axis-0 reduction is used (bit-identical to the pre-packing kernel).
+    """
+    if sb == 1:
+        if op is jnp.add:
+            return jnp.sum(x, axis=0, keepdims=True)
+        if op is jnp.minimum:
+            return jnp.min(x, axis=0, keepdims=True)
+        return jnp.max(x, axis=0, keepdims=True)
+    R = x.shape[0] // sb
+    carry = None
+    while R > 1:
+        half = R // 2
+        y = op(x[: half * sb], x[half * sb : 2 * half * sb])
+        if R % 2:
+            last = x[2 * half * sb : R * sb]
+            carry = last if carry is None else op(carry, last)
+        x = y
+        R = half
+    return x if carry is None else op(x, carry)
 
 
 class _Fam(NamedTuple):
-    """One inequality family's per-iteration tensors ([rows, BT] each)."""
+    """One inequality family's per-iteration tensors ([rows*sb, L] each).
+
+    ``mask`` is pre-tiled to the family's full row count (loop-invariant).
+    """
 
     c: jax.Array
     s: jax.Array
@@ -75,36 +105,26 @@ def _sigma(f: _Fam):
     )
 
 
-def _grad_coef(f: _Fam, mu):
-    sig = _sigma(f)
-    g = f.mask * (mu / jnp.maximum(f.s, _F32_FLOOR) - sig * (f.c - f.s))
-    return g, sig
-
-
-def _ftb(v, dv, tau):
-    ratio = jnp.where(dv < 0, -tau * v / jnp.minimum(dv, -1e-30), 1.0)
-    return _reduce_min(ratio)
-
-
 def ipm_fused_kernel(
     cfg: MPCConfig,
-    # inputs ([rows, BT]):
-    scal_ref,  # [26, BT]: x0(3), goal(3), cb(4), m_cb(4), sb(6), m_xl(3), m_xu(3)
-    warm_ref,  # [5T+?]: packed warm x,y,th (N+1 each), v,w (N each)
-    tx_ref,  # [K*N, BT] obstacle track x (or [1, BT] dummy when K=0)
+    sb: int,
+    # inputs ([rows*sb, L]):
+    scal_ref,  # [26*sb, L]: x0(3), goal(3), cb(4), m_cb(4), sb(6), m_xl(3), m_xu(3)
+    warm_ref,  # [(3T1+2N)*sb, L]: packed warm x,y,th (N+1 each), v,w (N each)
+    tx_ref,  # [K*N*sb, L] obstacle track x (or [sb, L] dummy when K=0)
     ty_ref,
-    obinfo_ref,  # [2K (+1 dummy), BT]: radius rows then mask rows
+    obinfo_ref,  # [(2K+1)*sb, L]: radius rows, mask rows, inflation
     # outputs (state lives here):
-    x_ref, y_ref, th_ref,  # [N+1, BT]
-    v_ref, w_ref,  # [N, BT]
-    s_c_ref, nu_c_ref,  # [4N, BT]  (vl, vu, wl, wu blocks)
-    s_x_ref, nu_x_ref,  # [6(N+1), BT]  (xl0..2, xu0..2 blocks)
-    s_ob_ref, nu_ob_ref,  # [K*N, BT] (or [1, BT] dummy)
+    x_ref, y_ref, th_ref,  # [(N+1)*sb, L]
+    v_ref, w_ref,  # [N*sb, L]
+    s_c_ref, nu_c_ref,  # [4N*sb, L]  (vl, vu, wl, wu blocks)
+    s_x_ref, nu_x_ref,  # [6(N+1)*sb, L]  (xl0..2, xu0..2 blocks)
+    s_ob_ref, nu_ob_ref,  # [K*N*sb, L] (or [sb, L] dummy)
     # scratch:
-    kk_ref,  # [8N, BT]: K00,K01,K02,K10,K11,K12,k0,k1 blocks
-    dxs_ref,  # [3(N+1), BT]: dx, dy, dth blocks
-    dus_ref,  # [2N, BT]: dv, dw blocks
-    stage_ref,  # [18(N+1), BT]: per-time condensed quantities (see _ST)
+    kk_ref,  # [8N*sb, L]: K00,K01,K02,K10,K11,K12,k0,k1 blocks
+    dxs_ref,  # [3(N+1)*sb, L]: dx, dy, dth blocks
+    dus_ref,  # [2N*sb, L]: dv, dw blocks
+    stage_ref,  # [18(N+1)*sb, L]: per-time condensed quantities (see _ST)
 ):
     N = cfg.horizon
     K = cfg.max_obstacles
@@ -112,22 +132,53 @@ def ipm_fused_kernel(
     sc = cfg.solver
     cc = cfg.cost
     T1 = N + 1
+    S = sb
+
+    def up(a, n):
+        """Tile an [sb, L] scalar row onto n logical rows ([n*sb, L]).
+
+        At sb == 1 this is a no-op: (1, L) broadcasts natively (Mosaic's
+        free replicated layout).  At sb > 1 the period-sb pattern is a real
+        sublane copy, so callers hoist loop-invariant tiles.
+        """
+        if S == 1 or n == 1:
+            return a
+        return pltpu.repeat(a, n, 0)
+
+    def _reduce_min(x):
+        return _tree_reduce(x, jnp.minimum, S)
+
+    def _reduce_max(x):
+        return _tree_reduce(x, jnp.maximum, S)
+
+    def _reduce_sum(x):
+        return _tree_reduce(x, jnp.add, S)
+
+    def _ftb(v, dv, tau):
+        ratio = jnp.where(dv < 0, -tau * v / jnp.minimum(dv, -1e-30), 1.0)
+        return _reduce_min(ratio)
+
+    def _grad_coef(f: _Fam, mu_t):
+        """mu_t must already be tiled to the family's rows."""
+        sig = _sigma(f)
+        g = f.mask * (mu_t / jnp.maximum(f.s, _F32_FLOOR) - sig * (f.c - f.s))
+        return g, sig
 
     # --- static cost constants ------------------------------------------
     w0, w1, w2 = (jnp.float32(w) for w in cc.goal_weights)
     w_neg = jnp.float32(cc.negative_velocity_weight)
     w_pos = jnp.float32(cc.positive_velocity_weight)
     w_ang = jnp.float32(cc.angular_velocity_weight)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T1, 1), 0)
-    gm = (rows >= 1).astype(jnp.float32)  # goal-cost row mask [T1, 1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T1 * S, 1), 0) // S
+    gm = (rows >= 1).astype(jnp.float32)  # goal-cost row mask [T1*sb, 1]
     if cc.goal_cost_mode == "exclude_terminal":
         gm = gm * (rows <= N - 1).astype(jnp.float32)
 
     # --- unpack scalar problem rows -------------------------------------
-    # All scalar-per-scenario rows stay rank-2 [1, BT]: Mosaic's vector
+    # All scalar-per-scenario rows stay rank-2 [sb, L]: Mosaic's vector
     # layouts require >= 2-D operands (rank-1 values crash its layout pass).
     scal = scal_ref[:]
-    row = lambda i: scal[i : i + 1]
+    row = lambda i: scal[i * S : (i + 1) * S]
     x0p, y0p, th0p = row(0), row(1), row(2)
     gx_, gy_, gth_ = row(3), row(4), row(5)
     v_lb, v_ub, w_lb, w_ub = row(6), row(7), row(8), row(9)
@@ -137,39 +188,58 @@ def ipm_fused_kernel(
     m_xl = [row(20 + i) for i in range(3)]
     m_xu = [row(23 + i) for i in range(3)]
     infl = (
-        obinfo_ref[2 * K : 2 * K + 1] if K > 0 else jnp.zeros_like(x0p)
+        obinfo_ref[2 * K * S : (2 * K + 1) * S]
+        if K > 0
+        else jnp.zeros_like(x0p)
     )
+
+    # Loop-invariant tiles of scalar rows onto family row counts.
+    gx_T, gy_T, gth_T = up(gx_, T1), up(gy_, T1), up(gth_, T1)
+    v_lb_N, v_ub_N = up(v_lb, N), up(v_ub, N)
+    w_lb_N, w_ub_N = up(w_lb, N), up(w_ub, N)
+    m_vl_N, m_vu_N = up(m_vl, N), up(m_vu, N)
+    m_wl_N, m_wu_N = up(m_wl, N), up(m_wu, N)
+    xlb_T = [up(b, T1) for b in xlb]
+    xub_T = [up(b, T1) for b in xub]
+    m_xl_T = [up(m, T1) for m in m_xl]
+    m_xu_T = [up(m, T1) for m in m_xu]
+    infl_N = up(infl, N)
 
     # --- init state from warm start -------------------------------------
     warm = warm_ref[:]
-    x_ref[:] = warm[0:T1]
-    y_ref[:] = warm[T1 : 2 * T1]
-    th_ref[:] = warm[2 * T1 : 3 * T1]
-    v_ref[:] = warm[3 * T1 : 3 * T1 + N]
-    w_ref[:] = warm[3 * T1 + N : 3 * T1 + 2 * N]
+    x_ref[:] = warm[0 : T1 * S]
+    y_ref[:] = warm[T1 * S : 2 * T1 * S]
+    th_ref[:] = warm[2 * T1 * S : 3 * T1 * S]
+    v_ref[:] = warm[3 * T1 * S : (3 * T1 + N) * S]
+    w_ref[:] = warm[(3 * T1 + N) * S : (3 * T1 + 2 * N) * S]
 
     if K > 0:
-        rad = [obinfo_ref[k : k + 1] for k in range(K)]
-        obm = [obinfo_ref[K + k : K + k + 1] for k in range(K)]
+        rad_N = [
+            up(obinfo_ref[k * S : (k + 1) * S], N) for k in range(K)
+        ]
+        obm_N = [
+            up(obinfo_ref[(K + k) * S : (K + k + 1) * S], N)
+            for k in range(K)
+        ]
 
     def families(xv, yv, thv, vv, wv):
         """Constraint values + normals at a trial point (whole-array)."""
-        c_vl = vv - v_lb
-        c_vu = v_ub - vv
-        c_wl = wv - w_lb
-        c_wu = w_ub - wv
+        c_vl = vv - v_lb_N
+        c_vu = v_ub_N - vv
+        c_wl = wv - w_lb_N
+        c_wu = w_ub_N - wv
         comps = (xv, yv, thv)
-        c_xl = [comps[i] - xlb[i] for i in range(3)]
-        c_xu = [xub[i] - comps[i] for i in range(3)]
+        c_xl = [comps[i] - xlb_T[i] for i in range(3)]
+        c_xu = [xub_T[i] - comps[i] for i in range(3)]
         if K > 0:
             tx = tx_ref[:]
             ty = ty_ref[:]
             obs = []
             for k in range(K):
-                dxk = xv[1:] - tx[k * N : (k + 1) * N]
-                dyk = yv[1:] - ty[k * N : (k + 1) * N]
+                dxk = xv[S:] - tx[k * N * S : (k + 1) * N * S]
+                dyk = yv[S:] - ty[k * N * S : (k + 1) * N * S]
                 dist = jnp.sqrt(dxk * dxk + dyk * dyk + 1e-16)
-                c_k = dist - rad[k] - infl
+                c_k = dist - rad_N[k] - infl_N
                 ds_safe = jnp.maximum(dist, 1e-2)
                 obs.append((c_k, dxk / ds_safe, dyk / ds_safe, ds_safe))
         else:
@@ -188,65 +258,65 @@ def ipm_fused_kernel(
         return s, nu
 
     for blk, (c, m) in enumerate(
-        ((c_vl, m_vl), (c_vu, m_vu), (c_wl, m_wl), (c_wu, m_wu))
+        ((c_vl, m_vl_N), (c_vu, m_vu_N), (c_wl, m_wl_N), (c_wu, m_wu_N))
     ):
         s, nu = init_pair(c, m)
-        s_c_ref[blk * N : (blk + 1) * N] = s
-        nu_c_ref[blk * N : (blk + 1) * N] = nu
+        s_c_ref[blk * N * S : (blk + 1) * N * S] = s
+        nu_c_ref[blk * N * S : (blk + 1) * N * S] = nu
     for i in range(3):
-        s, nu = init_pair(c_xl[i], m_xl[i])
-        s_x_ref[i * T1 : (i + 1) * T1] = s
-        nu_x_ref[i * T1 : (i + 1) * T1] = nu
-        s, nu = init_pair(c_xu[i], m_xu[i])
-        s_x_ref[(3 + i) * T1 : (4 + i) * T1] = s
-        nu_x_ref[(3 + i) * T1 : (4 + i) * T1] = nu
+        s, nu = init_pair(c_xl[i], m_xl_T[i])
+        s_x_ref[i * T1 * S : (i + 1) * T1 * S] = s
+        nu_x_ref[i * T1 * S : (i + 1) * T1 * S] = nu
+        s, nu = init_pair(c_xu[i], m_xu_T[i])
+        s_x_ref[(3 + i) * T1 * S : (4 + i) * T1 * S] = s
+        nu_x_ref[(3 + i) * T1 * S : (4 + i) * T1 * S] = nu
     if K > 0:
         for k in range(K):
-            s, nu = init_pair(obs[k][0], obm[k])
-            s_ob_ref[k * N : (k + 1) * N] = s
-            nu_ob_ref[k * N : (k + 1) * N] = nu
+            s, nu = init_pair(obs[k][0], obm_N[k])
+            s_ob_ref[k * N * S : (k + 1) * N * S] = s
+            nu_ob_ref[k * N * S : (k + 1) * N * S] = nu
 
     # --- helper: load family tuples from refs ----------------------------
     def load_fams(cv, cxl, cxu, obsv):
         c_blocks = cv
         fams = {}
         names = ("vl", "vu", "wl", "wu")
-        masks = (m_vl, m_vu, m_wl, m_wu)
+        masks = (m_vl_N, m_vu_N, m_wl_N, m_wu_N)
         s_c = s_c_ref[:]
         nu_c = nu_c_ref[:]
         for blk, nm in enumerate(names):
             fams[nm] = _Fam(
                 c_blocks[blk],
-                s_c[blk * N : (blk + 1) * N],
-                nu_c[blk * N : (blk + 1) * N],
+                s_c[blk * N * S : (blk + 1) * N * S],
+                nu_c[blk * N * S : (blk + 1) * N * S],
                 masks[blk],
             )
         s_x = s_x_ref[:]
         nu_x = nu_x_ref[:]
         for i in range(3):
             fams[f"xl{i}"] = _Fam(
-                cxl[i], s_x[i * T1 : (i + 1) * T1],
-                nu_x[i * T1 : (i + 1) * T1], m_xl[i],
+                cxl[i], s_x[i * T1 * S : (i + 1) * T1 * S],
+                nu_x[i * T1 * S : (i + 1) * T1 * S], m_xl_T[i],
             )
             fams[f"xu{i}"] = _Fam(
-                cxu[i], s_x[(3 + i) * T1 : (4 + i) * T1],
-                nu_x[(3 + i) * T1 : (4 + i) * T1], m_xu[i],
+                cxu[i], s_x[(3 + i) * T1 * S : (4 + i) * T1 * S],
+                nu_x[(3 + i) * T1 * S : (4 + i) * T1 * S], m_xu_T[i],
             )
         if K > 0:
             s_o = s_ob_ref[:]
             nu_o = nu_ob_ref[:]
             for k in range(K):
                 fams[f"ob{k}"] = _Fam(
-                    obsv[k][0], s_o[k * N : (k + 1) * N],
-                    nu_o[k * N : (k + 1) * N], obm[k],
+                    obsv[k][0], s_o[k * N * S : (k + 1) * N * S],
+                    nu_o[k * N * S : (k + 1) * N * S], obm_N[k],
                 )
         return fams
 
     def merit_terms(xv, yv, thv, vv, wv):
         """(objective, defect/pin l1, trig) at a trial point."""
-        ct = jnp.cos(thv[:-1])
-        st = jnp.sin(thv[:-1])
-        ex, ey, eth = xv - gx_, yv - gy_, thv - gth_
+        ct = jnp.cos(thv[:-S])
+        st = jnp.sin(thv[:-S])
+        ex, ey, eth = xv - gx_T, yv - gy_T, thv - gth_T
         obj = _reduce_sum(gm * (w0 * ex * ex + w1 * ey * ey + w2 * eth * eth))
         neg = jnp.minimum(vv, 0.0)
         if cc.reverse_penalty_mode == "squared":
@@ -256,25 +326,24 @@ def ipm_fused_kernel(
         pos = jnp.maximum(vv, 0.0)
         obj = obj + w_pos * _reduce_sum(pos * pos)
         obj = obj + w_ang * _reduce_sum(wv * wv)
-        d0r = xv[:-1] + vv * ct * dt - xv[1:]
-        d1r = yv[:-1] + vv * st * dt - yv[1:]
-        d2r = thv[:-1] + wv * dt - thv[1:]
+        d0r = xv[:-S] + vv * ct * dt - xv[S:]
+        d1r = yv[:-S] + vv * st * dt - yv[S:]
+        d2r = thv[:-S] + wv * dt - thv[S:]
         eq = (
             _reduce_sum(jnp.abs(d0r))
             + _reduce_sum(jnp.abs(d1r))
             + _reduce_sum(jnp.abs(d2r))
-            + jnp.abs(x0p - xv[0:1])
-            + jnp.abs(y0p - yv[0:1])
-            + jnp.abs(gthpin(thv))
+            + jnp.abs(x0p - xv[0:S])
+            + jnp.abs(y0p - yv[0:S])
+            + jnp.abs(th0p - thv[0:S])
         )
         return obj, eq, (ct, st, d0r, d1r, d2r)
 
-    def gthpin(thv):
-        return th0p - thv[0:1]
-
     # --- iteration body ---------------------------------------------------
     def body(_, reg_carry):
-        reg = reg_carry  # [BT]
+        reg = reg_carry  # [sb, L]
+        reg_N = up(reg, N)
+        reg_T = up(reg, T1)
         xv, yv, thv = x_ref[:], y_ref[:], th_ref[:]
         vv, wv = v_ref[:], w_ref[:]
         cv, cxl, cxu, obsv = families(xv, yv, thv, vv, wv)
@@ -294,13 +363,15 @@ def ipm_fused_kernel(
             jnp.float32(max(sc.mu_min, 50.0 * 1.1920929e-07)),
             jnp.float32(sc.mu_init),
         )
+        mu_N = up(mu, N)
+        mu_T = up(mu, T1)
 
         # --- cost derivatives + condensation -----------------------------
-        ct = jnp.cos(thv[:-1])
-        st = jnp.sin(thv[:-1])
-        gxc = 2.0 * gm * w0 * (xv - gx_)
-        gyc = 2.0 * gm * w1 * (yv - gy_)
-        gthc = 2.0 * gm * w2 * (thv - gth_)
+        ct = jnp.cos(thv[:-S])
+        st = jnp.sin(thv[:-S])
+        gxc = 2.0 * gm * w0 * (xv - gx_T)
+        gyc = 2.0 * gm * w1 * (yv - gy_T)
+        gthc = 2.0 * gm * w2 * (thv - gth_T)
         Hx0 = 2.0 * gm * w0 * jnp.ones_like(xv)
         Hx1 = 2.0 * gm * w1 * jnp.ones_like(xv)
         Hx2 = 2.0 * gm * w2 * jnp.ones_like(xv)
@@ -317,20 +388,20 @@ def ipm_fused_kernel(
         gw = 2.0 * w_ang * wv
         Hw = 2.0 * w_ang * jnp.ones_like(wv)
 
-        g_vl, sig_vl = _grad_coef(fams["vl"], mu)
-        g_vu, sig_vu = _grad_coef(fams["vu"], mu)
-        g_wl, sig_wl = _grad_coef(fams["wl"], mu)
-        g_wu, sig_wu = _grad_coef(fams["wu"], mu)
+        g_vl, sig_vl = _grad_coef(fams["vl"], mu_N)
+        g_vu, sig_vu = _grad_coef(fams["vu"], mu_N)
+        g_wl, sig_wl = _grad_coef(fams["wl"], mu_N)
+        g_wu, sig_wu = _grad_coef(fams["wu"], mu_N)
         qv = gv - g_vl + g_vu
         qw = gw - g_wl + g_wu
-        Qv = Hv + sig_vl + sig_vu + reg
-        Qw = Hw + sig_wl + sig_wu + reg
+        Qv = Hv + sig_vl + sig_vu + reg_N
+        Qw = Hw + sig_wl + sig_wu + reg_N
 
         qx = [gxc, gyc, gthc]
         Qd = [Hx0, Hx1, Hx2]
         for i in range(3):
-            g_l, s_l = _grad_coef(fams[f"xl{i}"], mu)
-            g_u, s_u = _grad_coef(fams[f"xu{i}"], mu)
+            g_l, s_l = _grad_coef(fams[f"xl{i}"], mu_T)
+            g_u, s_u = _grad_coef(fams[f"xu{i}"], mu_T)
             qx[i] = qx[i] - g_l + g_u
             Qd[i] = Qd[i] + s_l + s_u
         Qxy = jnp.zeros_like(vv)  # (x, y) off-diagonal, rows 1..N only
@@ -342,7 +413,7 @@ def ipm_fused_kernel(
             a11 = jnp.zeros_like(vv)
             for k in range(K):
                 fk = fams[f"ob{k}"]
-                g_o, sig_o = _grad_coef(fk, mu)
+                g_o, sig_o = _grad_coef(fk, mu_N)
                 _, nxk, nyk, dsafe = obsv[k]
                 addx = addx - nxk * g_o
                 addy = addy - nyk * g_o
@@ -361,30 +432,30 @@ def ipm_fused_kernel(
                 a11 = a11 + h11
             # no scatter-add in Mosaic: concatenate the untouched row 0
             cat = lambda base, add: jnp.concatenate(
-                [base[:1], base[1:] + add], axis=0
+                [base[:S], base[S:] + add], axis=0
             )
             qx[0] = cat(qx[0], addx)
             qx[1] = cat(qx[1], addy)
             Qd[0] = cat(Qd[0], a00)
             Qd[1] = cat(Qd[1], a11)
             Qxy = a01
-        Qd = [q + reg for q in Qd]
+        Qd = [q + reg_T for q in Qd]
 
         # --- dynamics ------------------------------------------------------
         a02 = -vv * st * dt
         a12 = vv * ct * dt
         b00 = ct * dt
         b10 = st * dt
-        d0r = xv[:-1] + vv * ct * dt - xv[1:]
-        d1r = yv[:-1] + vv * st * dt - yv[1:]
-        d2r = thv[:-1] + wv * dt - thv[1:]
-        pin0 = x0p - xv[0:1]
-        pin1 = y0p - yv[0:1]
-        pin2 = th0p - thv[0:1]
+        d0r = xv[:-S] + vv * ct * dt - xv[S:]
+        d1r = yv[:-S] + vv * st * dt - yv[S:]
+        d2r = thv[:-S] + wv * dt - thv[S:]
+        pin0 = x0p - xv[0:S]
+        pin1 = y0p - yv[0:S]
+        pin2 = th0p - thv[0:S]
 
         # Stage per-time quantities into VMEM so the sequential sweeps can
         # index rows dynamically (Mosaic has no dynamic_slice on *values*).
-        # Layout: slot s occupies rows [s*T1, s*T1 + len).
+        # Layout: slot s occupies rows [s*T1*sb, s*T1*sb + len*sb).
         _ST = {
             "a02": (0, a02), "a12": (1, a12), "b00": (2, b00),
             "b10": (3, b10), "d0": (4, d0r), "d1": (5, d1r),
@@ -394,15 +465,17 @@ def ipm_fused_kernel(
             "qx2": (16, qx[2]),
         }
         for slot, arr in _ST.values():
-            stage_ref[slot * T1 : slot * T1 + arr.shape[0]] = arr
+            stage_ref[slot * T1 * S : slot * T1 * S + arr.shape[0]] = arr
         if K > 0:
             # Qxy shifted so that row t holds the off-diagonal of *state* t
             # (zero at t=0): rows 1..N <- Qxy[0..N-1].
-            stage_ref[17 * T1 : 17 * T1 + 1] = jnp.zeros_like(Qxy[:1])
-            stage_ref[17 * T1 + 1 : 17 * T1 + 1 + N] = Qxy
+            stage_ref[17 * T1 * S : 17 * T1 * S + S] = jnp.zeros_like(
+                Qxy[:S]
+            )
+            stage_ref[17 * T1 * S + S : 17 * T1 * S + S + N * S] = Qxy
 
         def _row(slot, t):
-            return stage_ref[pl.ds(slot * T1 + t, 1)]  # [1, BT]
+            return stage_ref[pl.ds((slot * T1 + t) * S, S)]  # [sb, L]
 
         # --- backward Riccati (specialized, sequential in t) ---------------
         def bwd(tr, carry):
@@ -469,14 +542,14 @@ def ipm_fused_kernel(
             k0 = -(i00 * qu0 + i01 * qu1)
             k1 = -(i01 * qu0 + i11 * qu1)
             # store gains
-            kk_ref[pl.ds(0 * N + t, 1)] = K00
-            kk_ref[pl.ds(1 * N + t, 1)] = K01
-            kk_ref[pl.ds(2 * N + t, 1)] = K02
-            kk_ref[pl.ds(3 * N + t, 1)] = K10
-            kk_ref[pl.ds(4 * N + t, 1)] = K11
-            kk_ref[pl.ds(5 * N + t, 1)] = K12
-            kk_ref[pl.ds(6 * N + t, 1)] = k0
-            kk_ref[pl.ds(7 * N + t, 1)] = k1
+            kk_ref[pl.ds((0 * N + t) * S, S)] = K00
+            kk_ref[pl.ds((1 * N + t) * S, S)] = K01
+            kk_ref[pl.ds((2 * N + t) * S, S)] = K02
+            kk_ref[pl.ds((3 * N + t) * S, S)] = K10
+            kk_ref[pl.ds((4 * N + t) * S, S)] = K11
+            kk_ref[pl.ds((5 * N + t) * S, S)] = K12
+            kk_ref[pl.ds((6 * N + t) * S, S)] = k0
+            kk_ref[pl.ds((7 * N + t) * S, S)] = k1
             # A' P A: [[P00, P01, Pa0], [P01, P11, Pa1], [Pa0, Pa1, a'Pa]]
             aPa = a02t * Pa0 + a12t * Pa1 + Pa2
             # S = Qux' K  (3x3)
@@ -524,16 +597,18 @@ def ipm_fused_kernel(
                     nl0, nl1, nl2, nlmax)
 
         # terminal value: stage-N Hessian (diag + xy off-diag) and gradient
-        QxyN = Qxy[N - 1 : N] if K > 0 else jnp.zeros_like(x0p)
+        QxyN = Qxy[(N - 1) * S : N * S] if K > 0 else jnp.zeros_like(x0p)
+        NL = N * S
+        NH = (N + 1) * S
         lamN_abs = jnp.maximum(
-            jnp.abs(qx[0][N : N + 1]),
-            jnp.maximum(jnp.abs(qx[1][N : N + 1]), jnp.abs(qx[2][N : N + 1])),
+            jnp.abs(qx[0][NL:NH]),
+            jnp.maximum(jnp.abs(qx[1][NL:NH]), jnp.abs(qx[2][NL:NH])),
         )
         carry0 = (
-            Qd[0][N : N + 1], QxyN, jnp.zeros_like(x0p),
-            Qd[1][N : N + 1], jnp.zeros_like(x0p), Qd[2][N : N + 1],
-            qx[0][N : N + 1], qx[1][N : N + 1], qx[2][N : N + 1],
-            qx[0][N : N + 1], qx[1][N : N + 1], qx[2][N : N + 1],
+            Qd[0][NL:NH], QxyN, jnp.zeros_like(x0p),
+            Qd[1][NL:NH], jnp.zeros_like(x0p), Qd[2][NL:NH],
+            qx[0][NL:NH], qx[1][NL:NH], qx[2][NL:NH],
+            qx[0][NL:NH], qx[1][NL:NH], qx[2][NL:NH],
             lamN_abs,
         )
         bwd_out = jax.lax.fori_loop(0, N, bwd, carry0)
@@ -542,18 +617,18 @@ def ipm_fused_kernel(
         # --- forward rollout ------------------------------------------------
         def fwd(t, dxc):
             dx0, dx1, dx2 = dxc
-            K00 = kk_ref[pl.ds(0 * N + t, 1)]
-            K01 = kk_ref[pl.ds(1 * N + t, 1)]
-            K02 = kk_ref[pl.ds(2 * N + t, 1)]
-            K10 = kk_ref[pl.ds(3 * N + t, 1)]
-            K11 = kk_ref[pl.ds(4 * N + t, 1)]
-            K12 = kk_ref[pl.ds(5 * N + t, 1)]
-            k0 = kk_ref[pl.ds(6 * N + t, 1)]
-            k1 = kk_ref[pl.ds(7 * N + t, 1)]
+            K00 = kk_ref[pl.ds((0 * N + t) * S, S)]
+            K01 = kk_ref[pl.ds((1 * N + t) * S, S)]
+            K02 = kk_ref[pl.ds((2 * N + t) * S, S)]
+            K10 = kk_ref[pl.ds((3 * N + t) * S, S)]
+            K11 = kk_ref[pl.ds((4 * N + t) * S, S)]
+            K12 = kk_ref[pl.ds((5 * N + t) * S, S)]
+            k0 = kk_ref[pl.ds((6 * N + t) * S, S)]
+            k1 = kk_ref[pl.ds((7 * N + t) * S, S)]
             du0 = K00 * dx0 + K01 * dx1 + K02 * dx2 + k0
             du1 = K10 * dx0 + K11 * dx1 + K12 * dx2 + k1
-            dus_ref[pl.ds(t, 1)] = du0
-            dus_ref[pl.ds(N + t, 1)] = du1
+            dus_ref[pl.ds(t * S, S)] = du0
+            dus_ref[pl.ds((N + t) * S, S)] = du1
             a02t = _row(0, t)
             a12t = _row(1, t)
             b00t = _row(2, t)
@@ -564,28 +639,28 @@ def ipm_fused_kernel(
             ndx0 = dx0 + a02t * dx2 + b00t * du0 + d0t
             ndx1 = dx1 + a12t * dx2 + b10t * du0 + d1t
             ndx2 = dx2 + dt * du1 + d2t
-            dxs_ref[pl.ds(t + 1, 1)] = ndx0
-            dxs_ref[pl.ds(T1 + t + 1, 1)] = ndx1
-            dxs_ref[pl.ds(2 * T1 + t + 1, 1)] = ndx2
+            dxs_ref[pl.ds((t + 1) * S, S)] = ndx0
+            dxs_ref[pl.ds((T1 + t + 1) * S, S)] = ndx1
+            dxs_ref[pl.ds((2 * T1 + t + 1) * S, S)] = ndx2
             return (ndx0, ndx1, ndx2)
 
-        dxs_ref[pl.ds(0, 1)] = pin0
-        dxs_ref[pl.ds(T1, 1)] = pin1
-        dxs_ref[pl.ds(2 * T1, 1)] = pin2
+        dxs_ref[pl.ds(0, S)] = pin0
+        dxs_ref[pl.ds(T1 * S, S)] = pin1
+        dxs_ref[pl.ds(2 * T1 * S, S)] = pin2
         jax.lax.fori_loop(0, N, fwd, (pin0, pin1, pin2))
 
-        ddx = dxs_ref[0:T1]
-        ddy = dxs_ref[T1 : 2 * T1]
-        ddth = dxs_ref[2 * T1 : 3 * T1]
-        ddv = dus_ref[0:N]
-        ddw = dus_ref[N : 2 * N]
+        ddx = dxs_ref[0 : T1 * S]
+        ddy = dxs_ref[T1 * S : 2 * T1 * S]
+        ddth = dxs_ref[2 * T1 * S : 3 * T1 * S]
+        ddv = dus_ref[0 : N * S]
+        ddw = dus_ref[N * S : 2 * N * S]
 
         # --- slack / dual steps --------------------------------------------
-        def steps(f: _Fam, jdz):
+        def steps(f: _Fam, jdz, mu_t):
             ds = f.mask * (jdz + f.c - f.s)
             sig = _sigma(f)
             dnu = f.mask * (
-                mu / jnp.maximum(f.s, _F32_FLOOR) - f.nu - sig * ds
+                mu_t / jnp.maximum(f.s, _F32_FLOOR) - f.nu - sig * ds
             )
             return ds, dnu
 
@@ -594,11 +669,19 @@ def ipm_fused_kernel(
             "xl0": ddx, "xu0": -ddx, "xl1": ddy, "xu1": -ddy,
             "xl2": ddth, "xu2": -ddth,
         }
+        mu_map = {
+            "vl": mu_N, "vu": mu_N, "wl": mu_N, "wu": mu_N,
+            "xl0": mu_T, "xu0": mu_T, "xl1": mu_T, "xu1": mu_T,
+            "xl2": mu_T, "xu2": mu_T,
+        }
         if K > 0:
             for k in range(K):
                 _, nxk, nyk, _ = obsv[k]
-                jdz_map[f"ob{k}"] = nxk * ddx[1:] + nyk * ddy[1:]
-        deltas = {nm: steps(fams[nm], jdz_map[nm]) for nm in fams}
+                jdz_map[f"ob{k}"] = nxk * ddx[S:] + nyk * ddy[S:]
+                mu_map[f"ob{k}"] = mu_N
+        deltas = {
+            nm: steps(fams[nm], jdz_map[nm], mu_map[nm]) for nm in fams
+        }
 
         tau = jnp.float32(sc.tau)
         alpha_s = jnp.ones_like(x0p)
@@ -619,11 +702,13 @@ def ipm_fused_kernel(
 
         # --- merit line search ---------------------------------------------
         def merit_at(alpha):
-            txv = xv + alpha * ddx
-            tyv = yv + alpha * ddy
-            tthv = thv + alpha * ddth
-            tvv = vv + alpha * ddv
-            twv = wv + alpha * ddw
+            a_N = up(alpha, N)
+            a_T = up(alpha, T1)
+            txv = xv + a_T * ddx
+            tyv = yv + a_T * ddy
+            tthv = thv + a_T * ddth
+            tvv = vv + a_N * ddv
+            twv = wv + a_N * ddw
             obj, eq, _ = merit_terms(txv, tyv, tthv, tvv, twv)
             tcv, tcxl, tcxu, tobs = families(txv, tyv, tthv, tvv, twv)
             tfams_c = {
@@ -638,7 +723,8 @@ def ipm_fused_kernel(
             consist = jnp.zeros_like(x0p)
             for nm, f in fams.items():
                 ds, _ = deltas[nm]
-                ts = f.s + alpha * ds
+                a_f = a_N if ds.shape[0] == N * S else a_T
+                ts = f.s + a_f * ds
                 log_term = log_term + _reduce_sum(
                     f.mask * jnp.log(jnp.maximum(ts, 1e-30))
                 )
@@ -682,45 +768,47 @@ def ipm_fused_kernel(
         )
         alpha = alpha_best
         alpha_nu = jnp.minimum(alpha_nu, alpha)
+        alpha_N, alpha_T = up(alpha, N), up(alpha, T1)
+        alpha_nu_N, alpha_nu_T = up(alpha_nu, N), up(alpha_nu, T1)
 
         # --- apply updates -------------------------------------------------
-        x_ref[:] = xv + alpha * ddx
-        y_ref[:] = yv + alpha * ddy
-        th_ref[:] = thv + alpha * ddth
-        v_ref[:] = vv + alpha * ddv
-        w_ref[:] = wv + alpha * ddw
+        x_ref[:] = xv + alpha_T * ddx
+        y_ref[:] = yv + alpha_T * ddy
+        th_ref[:] = thv + alpha_T * ddth
+        v_ref[:] = vv + alpha_N * ddv
+        w_ref[:] = wv + alpha_N * ddw
 
-        def clamp(nu_new, s_new, mask):
-            center = mu / jnp.maximum(s_new, _F32_FLOOR)
+        def clamp(nu_new, s_new, mask, mu_t):
+            center = mu_t / jnp.maximum(s_new, _F32_FLOOR)
             return mask * jnp.clip(nu_new, center / _KAPPA, center * _KAPPA)
 
         names_c = ("vl", "vu", "wl", "wu")
         for blk, nm in enumerate(names_c):
             f = fams[nm]
             ds, dnu = deltas[nm]
-            s_new = f.s + alpha * ds
-            s_c_ref[blk * N : (blk + 1) * N] = s_new
-            nu_c_ref[blk * N : (blk + 1) * N] = clamp(
-                f.nu + alpha_nu * dnu, s_new, f.mask
+            s_new = f.s + alpha_N * ds
+            s_c_ref[blk * N * S : (blk + 1) * N * S] = s_new
+            nu_c_ref[blk * N * S : (blk + 1) * N * S] = clamp(
+                f.nu + alpha_nu_N * dnu, s_new, f.mask, mu_N
             )
         for i in range(3):
             for lo, nm in ((True, f"xl{i}"), (False, f"xu{i}")):
                 f = fams[nm]
                 ds, dnu = deltas[nm]
-                s_new = f.s + alpha * ds
-                base = i * T1 if lo else (3 + i) * T1
-                s_x_ref[base : base + T1] = s_new
-                nu_x_ref[base : base + T1] = clamp(
-                    f.nu + alpha_nu * dnu, s_new, f.mask
+                s_new = f.s + alpha_T * ds
+                base = (i * T1 if lo else (3 + i) * T1) * S
+                s_x_ref[base : base + T1 * S] = s_new
+                nu_x_ref[base : base + T1 * S] = clamp(
+                    f.nu + alpha_nu_T * dnu, s_new, f.mask, mu_T
                 )
         if K > 0:
             for k in range(K):
                 f = fams[f"ob{k}"]
                 ds, dnu = deltas[f"ob{k}"]
-                s_new = f.s + alpha * ds
-                s_ob_ref[k * N : (k + 1) * N] = s_new
-                nu_ob_ref[k * N : (k + 1) * N] = clamp(
-                    f.nu + alpha_nu * dnu, s_new, f.mask
+                s_new = f.s + alpha_N * ds
+                s_ob_ref[k * N * S : (k + 1) * N * S] = s_new
+                nu_ob_ref[k * N * S : (k + 1) * N * S] = clamp(
+                    f.nu + alpha_nu_N * dnu, s_new, f.mask, mu_N
                 )
 
         # Deep-backtrack reg growth only outside the small-step Newton
@@ -754,16 +842,26 @@ def _pad_batch(x, b_padded):
 
 
 def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
-                      interpret: bool = False, bt: int | None = None):
+                      interpret: bool = False, bt: int | None = None,
+                      sb: int | None = None):
     """Solve a batched Problem with the fused IPM kernel.
 
     Returns a `Solution` (diagnostics computed in jnp from the kernel's
     final slacks/duals — one cheap pass).  Leaves of ``problems`` have a
     leading batch axis B.  f32 path.  The scenario tile defaults to
-    ``cfg.solver.fused_block`` if set, else the module-level measured ``BT``.
+    ``cfg.solver.fused_block`` if set, else the module-level measured ``BT``;
+    ``sb`` sublane sub-blocks per program default to
+    ``cfg.solver.fused_sublanes`` or the module-level ``SB`` (see the module
+    docstring for the layout).
     """
     if bt is None:
         bt = cfg.solver.fused_block or BT
+    if sb is None:
+        sb = getattr(cfg.solver, "fused_sublanes", 0) or SB
+    # Compiled kernels need 128-lane alignment; interpret mode only needs
+    # the tile to split evenly into sub-blocks.
+    assert bt % (sb if interpret else 128 * sb) == 0, (bt, sb)
+    lanes = bt // sb
     from ...solver import ipm as ipm_mod
     from ...solver.problem import Solution
 
@@ -776,11 +874,25 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
     T1 = N + 1
     B = problems.initial_state.shape[0]
     Bp = ((B + bt - 1) // bt) * bt
+    nt = Bp // bt
     f32 = jnp.float32
 
-    def sm(x):  # [B, rows...] -> [rows, Bp] scenario-major f32
-        x = _pad_batch(jnp.asarray(x, f32), Bp)
-        return x.reshape(Bp, -1).T
+    def sm(x):
+        """[B, rows...] -> interleaved scenario-major [rows*sb, Bp//sb] f32.
+
+        Scenario g = i*bt + s*lanes + lane lands at physical
+        (row r*sb + s, column i*lanes + lane) for each logical row r.
+        """
+        x = _pad_batch(jnp.asarray(x, f32), Bp).reshape(Bp, -1)
+        R = x.shape[1]
+        x = x.reshape(nt, sb, lanes, R).transpose(3, 1, 0, 2)
+        return x.reshape(R * sb, nt * lanes)
+
+    def bm(a):
+        """Inverse of `sm`: [rows*sb, Bp//sb] -> [B, rows]."""
+        R = a.shape[0] // sb
+        a = a.reshape(R, sb, nt, lanes).transpose(2, 1, 3, 0)
+        return a.reshape(Bp, R)[:B]
 
     fin = lambda b: jnp.isfinite(b).astype(f32)
     safe = lambda b: jnp.where(jnp.isfinite(b), b, 0.0)
@@ -802,7 +914,7 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
             sm(fin(problems.state_upper)),  # 3
         ],
         axis=0,
-    )  # [26, Bp]
+    )  # [26*sb, Bp//sb]
     warm = jnp.concatenate(
         [
             sm(problems.warm_states[..., 0]),  # T1
@@ -814,7 +926,7 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
         axis=0,
     )
     if K > 0:
-        tx = sm(problems.obstacle_centers[..., 0])  # [K*N, Bp]
+        tx = sm(problems.obstacle_centers[..., 0])  # [K*N*sb, Bp//sb]
         ty = sm(problems.obstacle_centers[..., 1])
         obinfo = jnp.concatenate(
             [
@@ -828,46 +940,47 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
         )
         kn = K * N
     else:
-        tx = jnp.zeros((1, Bp), f32)
-        ty = jnp.zeros((1, Bp), f32)
-        obinfo = jnp.zeros((1, Bp), f32)
+        tx = jnp.zeros((sb, Bp // sb), f32)
+        ty = jnp.zeros((sb, Bp // sb), f32)
+        obinfo = jnp.zeros((sb, Bp // sb), f32)
         kn = 1
 
-    grid = (Bp // bt,)
+    grid = (nt,)
 
     def spec(rows):
-        return pl.BlockSpec((rows, bt), lambda i: (0, i),
+        return pl.BlockSpec((rows * sb, lanes), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(ipm_fused_kernel, cfg)
+    kernel = functools.partial(ipm_fused_kernel, cfg, sb)
     out_rows = [T1, T1, T1, N, N, 4 * N, 4 * N, 6 * T1, 6 * T1, kn, kn]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec(26), spec(3 * T1 + 2 * N), spec(kn), spec(kn),
-                  spec(obinfo.shape[0])],
+                  spec(obinfo.shape[0] // sb)],
         out_specs=[spec(r) for r in out_rows],
-        out_shape=[jax.ShapeDtypeStruct((r, Bp), f32) for r in out_rows],
+        out_shape=[
+            jax.ShapeDtypeStruct((r * sb, Bp // sb), f32) for r in out_rows
+        ],
         scratch_shapes=[
-            pltpu.VMEM((8 * N, bt), f32),
-            pltpu.VMEM((3 * T1, bt), f32),
-            pltpu.VMEM((2 * N, bt), f32),
-            pltpu.VMEM((18 * T1, bt), f32),
+            pltpu.VMEM((8 * N * sb, lanes), f32),
+            pltpu.VMEM((3 * T1 * sb, lanes), f32),
+            pltpu.VMEM((2 * N * sb, lanes), f32),
+            pltpu.VMEM((18 * T1 * sb, lanes), f32),
         ],
         interpret=interpret,
     )(scal, warm, tx, ty, obinfo)
 
     (x, y, th, v, w, s_c, nu_c, s_x, nu_x, s_ob, nu_ob) = outs
-    bm = lambda a: a.T[:B]  # [rows, Bp] -> [B, rows]
     states = jnp.stack([bm(x), bm(y), bm(th)], axis=-1)  # [B, T1, 3]
     controls = jnp.stack([bm(v), bm(w)], axis=-1)  # [B, N, 2]
 
     # Rebuild an IPMState and reuse the jnp diagnostics (one cheap pass).
     def unpack_c(a, blk):
-        return bm(a[blk * N : (blk + 1) * N])
+        return bm(a[blk * N * sb : (blk + 1) * N * sb])
 
     def unpack_x(a, blk):
-        return bm(a[blk * T1 : (blk + 1) * T1])
+        return bm(a[blk * T1 * sb : (blk + 1) * T1 * sb])
 
     s_cl = jnp.stack([unpack_c(s_c, 0), unpack_c(s_c, 2)], axis=-1)
     s_cu = jnp.stack([unpack_c(s_c, 1), unpack_c(s_c, 3)], axis=-1)
@@ -879,10 +992,12 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
     nu_xu = jnp.stack([unpack_x(nu_x, 3 + i) for i in range(3)], axis=-1)
     if K > 0:
         s_ob_b = jnp.stack(
-            [bm(s_ob[k * N : (k + 1) * N]) for k in range(K)], axis=-1
+            [bm(s_ob[k * N * sb : (k + 1) * N * sb]) for k in range(K)],
+            axis=-1,
         )
         nu_ob_b = jnp.stack(
-            [bm(nu_ob[k * N : (k + 1) * N]) for k in range(K)], axis=-1
+            [bm(nu_ob[k * N * sb : (k + 1) * N * sb]) for k in range(K)],
+            axis=-1,
         )
     else:
         s_ob_b = jnp.ones((B, N, 0), f32)

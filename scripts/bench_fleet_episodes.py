@@ -39,8 +39,7 @@ def main():
         solver=dataclasses.replace(
             cfg.solver,
             iterations=32,
-            refine_fraction=0.125,
-            refine_iterations=64,
+            refine_stages=((0.125, 64, 0.2), (0.02, 96, 0.7)),
         )
     )
     params = AgentParams()

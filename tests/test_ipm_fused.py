@@ -83,3 +83,52 @@ def test_fused_bound_activity():
     v = np.asarray(fused.controls[0, :, 0])
     assert np.all(v <= 0.5 + 1e-5)
     assert np.max(v) > 0.5 - 1e-3
+
+
+@pytest.mark.parametrize("sb", [2, 4])
+def test_fused_sublane_packing_matches_flat(sb):
+    # sb>1 reorders the scenario layout into (sb, lanes) sub-blocks; the
+    # algorithm (and the interpret-mode arithmetic) must be unchanged, so
+    # results match the flat sb=1 kernel to f32 op-order noise.
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
+    obs = static_set(
+        [[0.6, 0.05], [2.5, 2.5]], [0.2, 0.2], max_obstacles=2,
+        dtype=jnp.float32,
+    )
+    ps = []
+    for s, g in [((0.0, 0.0, 0.0), (1.2, 0.1, 0.0)),
+                 ((0.0, -0.4, 0.5), (1.2, 0.3, 0.0)),
+                 ((0.2, -0.3, 1.0), (0.8, 0.6, 0.5)),
+                 ((0.0, 0.0, -2.0), (-0.5, 0.5, 0.0))]:
+        ps.append(
+            problem_with_obstacles(
+                cfg, jnp.asarray(s, jnp.float32), jnp.asarray(g, jnp.float32),
+                obs, inflation_radius=0.25, dtype=jnp.float32,
+            )
+        )
+    problems = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    flat = solve_batch_fused(cfg, problems, interpret=True, bt=4, sb=1)
+    packed = solve_batch_fused(cfg, problems, interpret=True, bt=4, sb=sb)
+    err = np.max(
+        np.abs(np.asarray(packed.controls) - np.asarray(flat.controls))
+    )
+    assert err <= 1e-5, f"sb={sb} vs flat max control diff {err:.2e}"
+    np.testing.assert_array_equal(
+        np.asarray(packed.diagnostics.converged),
+        np.asarray(flat.diagnostics.converged),
+    )
+
+
+def test_fused_sublane_packing_no_obstacles():
+    cfg = MPCConfig(horizon=12, time_step=0.1)
+    problems = _batch_problems(
+        cfg,
+        [((0.0, 0.0, 0.0), (1.0, 0.4, 0.0)),
+         ((0.2, -0.3, 1.0), (0.8, 0.6, 0.5))],
+    )
+    flat = solve_batch_fused(cfg, problems, interpret=True, bt=2, sb=1)
+    packed = solve_batch_fused(cfg, problems, interpret=True, bt=2, sb=2)
+    err = np.max(
+        np.abs(np.asarray(packed.controls) - np.asarray(flat.controls))
+    )
+    assert err <= 1e-5, f"sb=2 vs flat max control diff {err:.2e}"
