@@ -64,6 +64,16 @@ class SolverConfig:
     mu_init: float = 1.0
     mu_sigma: float = 0.2
     mu_min: float = 1e-9
+    # Per-scenario adaptive centering cap (0 disables).  When > 0, sigma
+    # starts at mu_sigma and grows 1.5x toward this cap on every iteration
+    # whose accepted step is throttled below 0.25 outside the small-step
+    # Newton regime (the stall signature: the barrier schedule outran the
+    # central path and fraction-to-boundary / merit are braking), decaying
+    # 0.9x back to mu_sigma on healthy steps.  The staged-refinement data
+    # motivates it: the hard ~2% of obstacle scenarios converge only under
+    # a slowed schedule (mu_sigma 0.5-0.7), while easy scenarios want the
+    # fast one — adapting per scenario gets both inside the base solve.
+    mu_sigma_max: float = 0.0
     # Fraction-to-boundary rule coefficient for slack/dual steps.
     tau: float = 0.995
     # Backtracking line search: alpha in {1, ls_backtrack, ls_backtrack^2, ...}

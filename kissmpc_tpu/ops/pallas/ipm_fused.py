@@ -222,8 +222,15 @@ def ipm_fused_kernel(
             for k in range(K)
         ]
 
-    def families(xv, yv, thv, vv, wv):
-        """Constraint values + normals at a trial point (whole-array)."""
+    def families(xv, yv, thv, vv, wv, values_only=False):
+        """Constraint values (+ normals) at a trial point (whole-array).
+
+        ``values_only`` skips the obstacle normals — line-search trial
+        evaluations need only constraint values, and the normal planes
+        (2K x [N*sb, L]) are the kernel's largest transient VMEM cost.
+        The safe distance is recoverable as c + r + infl (see condensation),
+        so it is not carried either.
+        """
         c_vl = vv - v_lb_N
         c_vu = v_ub_N - vv
         c_wl = wv - w_lb_N
@@ -240,8 +247,11 @@ def ipm_fused_kernel(
                 dyk = yv[S:] - ty[k * N * S : (k + 1) * N * S]
                 dist = jnp.sqrt(dxk * dxk + dyk * dyk + 1e-16)
                 c_k = dist - rad_N[k] - infl_N
-                ds_safe = jnp.maximum(dist, 1e-2)
-                obs.append((c_k, dxk / ds_safe, dyk / ds_safe, ds_safe))
+                if values_only:
+                    obs.append((c_k, None, None))
+                else:
+                    ds_safe = jnp.maximum(dist, 1e-2)
+                    obs.append((c_k, dxk / ds_safe, dyk / ds_safe))
         else:
             obs = []
         return (c_vl, c_vu, c_wl, c_wu), c_xl, c_xu, obs
@@ -339,9 +349,11 @@ def ipm_fused_kernel(
         )
         return obj, eq, (ct, st, d0r, d1r, d2r)
 
+    adaptive_sigma = sc.mu_sigma_max > 0.0
+
     # --- iteration body ---------------------------------------------------
-    def body(_, reg_carry):
-        reg = reg_carry  # [sb, L]
+    def body(_, carry):
+        reg, sigma_c = carry  # [sb, L] each
         reg_N = up(reg, N)
         reg_T = up(reg, T1)
         xv, yv, thv = x_ref[:], y_ref[:], th_ref[:]
@@ -359,7 +371,7 @@ def ipm_fused_kernel(
         # below ~50 eps the f32 central path is unrepresentable and late
         # iterations corrupt converged iterates.
         mu = jnp.clip(
-            jnp.float32(sc.mu_sigma) * tot / jnp.maximum(cnt, 1.0),
+            sigma_c * tot / jnp.maximum(cnt, 1.0),
             jnp.float32(max(sc.mu_min, 50.0 * 1.1920929e-07)),
             jnp.float32(sc.mu_init),
         )
@@ -414,13 +426,16 @@ def ipm_fused_kernel(
             for k in range(K):
                 fk = fams[f"ob{k}"]
                 g_o, sig_o = _grad_coef(fk, mu_N)
-                _, nxk, nyk, dsafe = obsv[k]
+                c_k, nxk, nyk = obsv[k]
                 addx = addx - nxk * g_o
                 addy = addy - nyk * g_o
                 h00 = sig_o * nxk * nxk
                 h01 = sig_o * nxk * nyk
                 h11 = sig_o * nyk * nyk
                 if sc.obstacle_curvature:
+                    # dist = c + r + infl (up to f32 rounding); the floor
+                    # matches families()'s ds_safe.
+                    dsafe = jnp.maximum(c_k + rad_N[k] + infl_N, 1e-2)
                     wc = jnp.maximum(
                         -fk.mask * fk.nu / dsafe, -0.9 * sig_o
                     )
@@ -656,13 +671,19 @@ def ipm_fused_kernel(
         ddw = dus_ref[N * S : 2 * N * S]
 
         # --- slack / dual steps --------------------------------------------
-        def steps(f: _Fam, jdz, mu_t):
-            ds = f.mask * (jdz + f.c - f.s)
+        # Only the slack steps ds are *held* across the line search (the
+        # merit needs them per candidate); the dual steps dnu contribute one
+        # fraction-to-boundary reduction here and are recomputed bit-identical
+        # at update time — holding all 18 dnu planes across the search is
+        # pure VMEM liveness with no reuse.
+        def step_ds(f: _Fam, jdz):
+            return f.mask * (jdz + f.c - f.s)
+
+        def step_dnu(f: _Fam, ds, mu_t):
             sig = _sigma(f)
-            dnu = f.mask * (
+            return f.mask * (
                 mu_t / jnp.maximum(f.s, _F32_FLOOR) - f.nu - sig * ds
             )
-            return ds, dnu
 
         jdz_map = {
             "vl": ddv, "vu": -ddv, "wl": ddw, "wu": -ddw,
@@ -676,20 +697,20 @@ def ipm_fused_kernel(
         }
         if K > 0:
             for k in range(K):
-                _, nxk, nyk, _ = obsv[k]
+                _, nxk, nyk = obsv[k]
                 jdz_map[f"ob{k}"] = nxk * ddx[S:] + nyk * ddy[S:]
                 mu_map[f"ob{k}"] = mu_N
-        deltas = {
-            nm: steps(fams[nm], jdz_map[nm], mu_map[nm]) for nm in fams
-        }
+        deltas = {nm: step_ds(fams[nm], jdz_map[nm]) for nm in fams}
 
         tau = jnp.float32(sc.tau)
         alpha_s = jnp.ones_like(x0p)
         alpha_nu = jnp.ones_like(x0p)
         for nm, f in fams.items():
-            ds, dnu = deltas[nm]
+            ds = deltas[nm]
             alpha_s = jnp.minimum(alpha_s, _ftb(f.s, ds, tau))
-            alpha_nu = jnp.minimum(alpha_nu, _ftb(f.nu, dnu, tau))
+            alpha_nu = jnp.minimum(
+                alpha_nu, _ftb(f.nu, step_dnu(f, ds, mu_map[nm]), tau)
+            )
 
         # rho: l1 penalty must dominate the multipliers
         nu_max = jnp.zeros_like(x0p)
@@ -710,7 +731,9 @@ def ipm_fused_kernel(
             tvv = vv + a_N * ddv
             twv = wv + a_N * ddw
             obj, eq, _ = merit_terms(txv, tyv, tthv, tvv, twv)
-            tcv, tcxl, tcxu, tobs = families(txv, tyv, tthv, tvv, twv)
+            tcv, tcxl, tcxu, tobs = families(
+                txv, tyv, tthv, tvv, twv, values_only=True
+            )
             tfams_c = {
                 "vl": tcv[0], "vu": tcv[1], "wl": tcv[2], "wu": tcv[3],
                 "xl0": tcxl[0], "xl1": tcxl[1], "xl2": tcxl[2],
@@ -722,7 +745,7 @@ def ipm_fused_kernel(
             log_term = jnp.zeros_like(x0p)
             consist = jnp.zeros_like(x0p)
             for nm, f in fams.items():
-                ds, _ = deltas[nm]
+                ds = deltas[nm]
                 a_f = a_N if ds.shape[0] == N * S else a_T
                 ts = f.s + a_f * ds
                 log_term = log_term + _reduce_sum(
@@ -785,7 +808,8 @@ def ipm_fused_kernel(
         names_c = ("vl", "vu", "wl", "wu")
         for blk, nm in enumerate(names_c):
             f = fams[nm]
-            ds, dnu = deltas[nm]
+            ds = deltas[nm]
+            dnu = step_dnu(f, ds, mu_N)
             s_new = f.s + alpha_N * ds
             s_c_ref[blk * N * S : (blk + 1) * N * S] = s_new
             nu_c_ref[blk * N * S : (blk + 1) * N * S] = clamp(
@@ -794,7 +818,8 @@ def ipm_fused_kernel(
         for i in range(3):
             for lo, nm in ((True, f"xl{i}"), (False, f"xu{i}")):
                 f = fams[nm]
-                ds, dnu = deltas[nm]
+                ds = deltas[nm]
+                dnu = step_dnu(f, ds, mu_T)
                 s_new = f.s + alpha_T * ds
                 base = (i * T1 if lo else (3 + i) * T1) * S
                 s_x_ref[base : base + T1 * S] = s_new
@@ -804,7 +829,8 @@ def ipm_fused_kernel(
         if K > 0:
             for k in range(K):
                 f = fams[f"ob{k}"]
-                ds, dnu = deltas[f"ob{k}"]
+                ds = deltas[f"ob{k}"]
+                dnu = step_dnu(f, ds, mu_N)
                 s_new = f.s + alpha_N * ds
                 s_ob_ref[k * N * S : (k + 1) * N * S] = s_new
                 nu_ob_ref[k * N * S : (k + 1) * N * S] = clamp(
@@ -821,10 +847,21 @@ def ipm_fused_kernel(
             jnp.minimum(jnp.maximum(reg, jnp.float32(sc.reg)) * 8.0, 1e8),
             jnp.maximum(reg / 3.0, jnp.float32(sc.reg)),
         )
-        return reg_new
+        if adaptive_sigma:
+            # Adaptive centering (mirrors solver/ipm.py): throttled accepted
+            # steps outside the Newton regime slow the barrier schedule.
+            sigma_new = jnp.where(
+                (alpha < 0.25) & ~newton_regime,
+                jnp.minimum(sigma_c * 1.5, jnp.float32(sc.mu_sigma_max)),
+                jnp.maximum(sigma_c * 0.9, jnp.float32(sc.mu_sigma)),
+            )
+        else:
+            sigma_new = sigma_c
+        return reg_new, sigma_new
 
     reg0 = jnp.full_like(x0p, jnp.float32(sc.reg))
-    jax.lax.fori_loop(0, sc.iterations, body, reg0)
+    sigma0 = jnp.full_like(x0p, jnp.float32(sc.mu_sigma))
+    jax.lax.fori_loop(0, sc.iterations, body, (reg0, sigma0))
 
 
 # ---------------------------------------------------------------------------
@@ -1007,7 +1044,8 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
         it = ipm_mod.IPMState(
             states_i, controls_i, *it_fields,
             jnp.ones_like(it_fields[4]),  # e_ob (fused path is non-elastic)
-            jnp.zeros((), f32),
+            jnp.zeros((), f32),  # reg (unused by diagnostics)
+            jnp.asarray(cfg.solver.mu_sigma, f32),  # sigma (final-mu report)
         )
         masks = ipm_mod._constraint_masks(cfg, problem_i, f32)
         mu = ipm_mod._adaptive_mu(cfg, it, masks, f32)

@@ -109,6 +109,13 @@ class IPMState(NamedTuple):
     # e.g. warm starts deep inside an obstacle), decayed on success so the
     # superlinear Newton tail is untouched.
     reg: jax.Array
+    # Adaptive centering parameter (mu = sigma * mean complementarity).
+    # Initialized at SolverConfig.mu_sigma; with mu_sigma_max > 0 it grows
+    # toward that cap whenever the accepted step is throttled (the stall
+    # signature: the barrier schedule outran the central path) and decays
+    # back on healthy steps, so hard scenarios get the slow schedule the
+    # staged-refinement data shows they need without slowing easy ones.
+    sigma: jax.Array
 
 
 class _Masks(NamedTuple):
@@ -205,6 +212,7 @@ def _init_state(cfg: MPCConfig, problem: Problem) -> IPMState:
         nu_cl, nu_cu, nu_xl, nu_xu, nu_ob,
         e_ob,
         reg=jnp.asarray(cfg.solver.reg, states.dtype),
+        sigma=jnp.asarray(cfg.solver.mu_sigma, states.dtype),
     )
 
 
@@ -563,6 +571,20 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
             jnp.minimum(jnp.maximum(it.reg, sc.reg) * 8.0, 1e8),
             jnp.maximum(it.reg / 3.0, sc.reg),
         ),
+        # Adaptive centering (enabled by mu_sigma_max > 0): a throttled
+        # accepted step outside the converged Newton regime means the barrier
+        # schedule outran the central path (fraction-to-boundary or merit is
+        # braking) — slow the centering toward the cap; healthy steps decay
+        # it back to the configured schedule.
+        sigma=(
+            jnp.where(
+                (alpha < 0.25) & ~newton_regime,
+                jnp.minimum(it.sigma * 1.5, sc.mu_sigma_max),
+                jnp.maximum(it.sigma * 0.9, sc.mu_sigma),
+            )
+            if sc.mu_sigma_max > 0.0
+            else it.sigma
+        ),
     )
     return new
 
@@ -680,7 +702,7 @@ def _adaptive_mu(cfg: MPCConfig, it: IPMState, masks: _Masks, dtype):
     mu_floor = jnp.maximum(
         jnp.asarray(sc.mu_min, dtype), 50.0 * eps
     )
-    return jnp.clip(sc.mu_sigma * comp, mu_floor, sc.mu_init)
+    return jnp.clip(it.sigma * comp, mu_floor, sc.mu_init)
 
 
 def solve(cfg: MPCConfig, problem: Problem) -> Solution:

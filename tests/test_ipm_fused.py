@@ -119,6 +119,36 @@ def test_fused_sublane_packing_matches_flat(sb):
     )
 
 
+def test_fused_adaptive_sigma_matches_jnp():
+    # mu_sigma_max > 0 turns on per-scenario adaptive centering; both paths
+    # implement the same grow/decay rule so controls must still agree.
+    import dataclasses
+
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
+    cfg = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, mu_sigma_max=0.7)
+    )
+    obs = static_set(
+        [[0.6, 0.05], [2.5, 2.5]], [0.2, 0.2], max_obstacles=2,
+        dtype=jnp.float32,
+    )
+    ps = []
+    for s, g in [((0.0, 0.0, 0.0), (1.2, 0.1, 0.0)),
+                 ((0.0, -0.4, 0.5), (1.2, 0.3, 0.0))]:
+        ps.append(
+            problem_with_obstacles(
+                cfg, jnp.asarray(s, jnp.float32), jnp.asarray(g, jnp.float32),
+                obs, inflation_radius=0.25, dtype=jnp.float32,
+            )
+        )
+    problems = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    ref = jax.vmap(functools.partial(ipm.solve, cfg))(problems)
+    fused = solve_batch_fused(cfg, problems, interpret=True, bt=8)
+    err = np.max(np.abs(np.asarray(fused.controls) - np.asarray(ref.controls)))
+    assert err <= 2e-3, f"fused vs jnp max control diff {err:.2e}"
+    assert bool(jnp.all(fused.diagnostics.converged))
+
+
 def test_fused_sublane_packing_no_obstacles():
     cfg = MPCConfig(horizon=12, time_step=0.1)
     problems = _batch_problems(
