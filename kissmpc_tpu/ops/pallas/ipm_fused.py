@@ -114,17 +114,20 @@ def ipm_fused_kernel(
     tx_ref,  # [K*N*sb, L] obstacle track x (or [sb, L] dummy when K=0)
     ty_ref,
     obinfo_ref,  # [(2K+1)*sb, L]: radius rows, mask rows, inflation
-    # outputs (state lives here):
+    # outputs:
     x_ref, y_ref, th_ref,  # [(N+1)*sb, L]
     v_ref, w_ref,  # [N*sb, L]
-    s_c_ref, nu_c_ref,  # [4N*sb, L]  (vl, vu, wl, wu blocks)
-    s_x_ref, nu_x_ref,  # [6(N+1)*sb, L]  (xl0..2, xu0..2 blocks)
-    s_ob_ref, nu_ob_ref,  # [K*N*sb, L] (or [sb, L] dummy)
-    # scratch:
+    diag_ref,  # [6*sb, L]: converged, stationarity, feasibility, comp,
+    #            cost, mu — the exact KKT diagnostics, computed in-kernel
+    #            (mirrors solver/ipm.py::_diagnostics)
+    # scratch (iterate state lives here):
     kk_ref,  # [8N*sb, L]: K00,K01,K02,K10,K11,K12,k0,k1 blocks
     dxs_ref,  # [3(N+1)*sb, L]: dx, dy, dth blocks
     dus_ref,  # [2N*sb, L]: dv, dw blocks
     stage_ref,  # [18(N+1)*sb, L]: per-time condensed quantities (see _ST)
+    s_c_ref, nu_c_ref,  # [4N*sb, L]  (vl, vu, wl, wu blocks)
+    s_x_ref, nu_x_ref,  # [6(N+1)*sb, L]  (xl0..2, xu0..2 blocks)
+    s_ob_ref, nu_ob_ref,  # [K*N*sb, L] (or [sb, L] dummy)
 ):
     N = cfg.horizon
     K = cfg.max_obstacles
@@ -861,7 +864,132 @@ def ipm_fused_kernel(
 
     reg0 = jnp.full_like(x0p, jnp.float32(sc.reg))
     sigma0 = jnp.full_like(x0p, jnp.float32(sc.mu_sigma))
-    jax.lax.fori_loop(0, sc.iterations, body, (reg0, sigma0))
+    _, sigma_fin = jax.lax.fori_loop(0, sc.iterations, body, (reg0, sigma0))
+
+    # --- exact KKT diagnostics at the final iterate ----------------------
+    # Mirrors solver/ipm.py::_diagnostics: Lagrangian gradient with the
+    # final duals, one adjoint sweep for the control stationarity, IPOPT's
+    # s_d dual scaling, feasibility/complementarity inf-norms, and the
+    # dtype-aware convergence test.  Computing this in-kernel keeps the
+    # slack/dual planes in scratch (no HBM round-trip) and replaces the
+    # wrapper's vmapped jnp pass.
+    xv, yv, thv = x_ref[:], y_ref[:], th_ref[:]
+    vv, wv = v_ref[:], w_ref[:]
+    cv, cxl, cxu, obsv = families(xv, yv, thv, vv, wv)
+    fams = load_fams(cv, cxl, cxu, obsv)
+
+    # Cost gradients (same expressions as the condensation).
+    gxc = 2.0 * gm * w0 * (xv - gx_T)
+    gyc = 2.0 * gm * w1 * (yv - gy_T)
+    gthc = 2.0 * gm * w2 * (thv - gth_T)
+    if cc.reverse_penalty_mode == "squared":
+        gv = 2.0 * w_neg * jnp.minimum(vv, 0.0)
+    else:
+        gv = w_neg * (vv < 0.0).astype(vv.dtype)
+    gv = gv + 2.0 * w_pos * jnp.maximum(vv, 0.0)
+    gw = 2.0 * w_ang * wv
+
+    # Lagrangian gradient contributions -J' nu per family (duals are stored
+    # pre-masked).
+    gxL0 = gxc - fams["xl0"].nu + fams["xu0"].nu
+    gxL1 = gyc - fams["xl1"].nu + fams["xu1"].nu
+    gxL2 = gthc - fams["xl2"].nu + fams["xu2"].nu
+    guL0 = gv - fams["vl"].nu + fams["vu"].nu
+    guL1 = gw - fams["wl"].nu + fams["wu"].nu
+    if K > 0:
+        addx = jnp.zeros_like(vv)
+        addy = jnp.zeros_like(vv)
+        for k in range(K):
+            _, nxk, nyk = obsv[k]
+            nu_k = fams[f"ob{k}"].nu
+            addx = addx - nxk * nu_k
+            addy = addy - nyk * nu_k
+        cat = lambda base, add: jnp.concatenate(
+            [base[:S], base[S:] + add], axis=0
+        )
+        gxL0 = cat(gxL0, addx)
+        gxL1 = cat(gxL1, addy)
+
+    # Stage per-time rows for the sequential adjoint sweep (reuses
+    # stage_ref slots; the iteration loop is done with them).
+    ctf = jnp.cos(thv[:-S])
+    stf = jnp.sin(thv[:-S])
+    for slot, arr in (
+        (0, -vv * stf * dt), (1, vv * ctf * dt),  # a02, a12
+        (2, ctf * dt), (3, stf * dt),  # b00, b10
+        (4, gxL0), (5, gxL1), (6, gxL2),
+        (7, guL0), (8, guL1),
+    ):
+        stage_ref[slot * T1 * S : slot * T1 * S + arr.shape[0]] = arr
+
+    def _drow(slot, t):
+        return stage_ref[pl.ds((slot * T1 + t) * S, S)]
+
+    def adj(tr, carry):
+        t = N - 1 - tr
+        l0, l1, l2, ru_max = carry
+        ru0 = _drow(7, t) + _drow(2, t) * l0 + _drow(3, t) * l1
+        ru1 = _drow(8, t) + dt * l2
+        ru_max = jnp.maximum(
+            ru_max, jnp.maximum(jnp.abs(ru0), jnp.abs(ru1))
+        )
+        nl2 = _drow(6, t) + _drow(0, t) * l0 + _drow(1, t) * l1 + l2
+        nl0 = _drow(4, t) + l0
+        nl1 = _drow(5, t) + l1
+        return (nl0, nl1, nl2, ru_max)
+
+    lamN = (_drow(4, N), _drow(5, N), _drow(6, N))
+    _, _, _, ru_max = jax.lax.fori_loop(
+        0, N, adj, (*lamN, jnp.zeros_like(x0p))
+    )
+
+    # IPOPT s_d scaling + family reductions (masks live in fams).
+    nu_sum = jnp.zeros_like(x0p)
+    nu_cnt = jnp.zeros_like(x0p)
+    viol = jnp.zeros_like(x0p)
+    comp = jnp.zeros_like(x0p)
+    tot = jnp.zeros_like(x0p)
+    for f in fams.values():
+        nu_sum = nu_sum + _reduce_sum(f.mask * jnp.abs(f.nu))
+        nu_cnt = nu_cnt + _reduce_sum(f.mask * jnp.ones_like(f.s))
+        viol = jnp.maximum(
+            viol, _reduce_max(f.mask * jnp.maximum(-f.c, 0.0))
+        )
+        comp = jnp.maximum(comp, _reduce_max(f.mask * jnp.abs(f.s * f.nu)))
+        tot = tot + _reduce_sum(f.mask * f.s * f.nu)
+    s_d = jnp.maximum(100.0, nu_sum / jnp.maximum(nu_cnt, 1.0)) / 100.0
+    stationarity = ru_max / s_d
+
+    obj, _, (ctm, stm, d0r, d1r, d2r) = merit_terms(xv, yv, thv, vv, wv)
+    feas = jnp.maximum(
+        _reduce_max(jnp.abs(d0r)),
+        jnp.maximum(_reduce_max(jnp.abs(d1r)), _reduce_max(jnp.abs(d2r))),
+    )
+    feas = jnp.maximum(feas, jnp.abs(x0p - xv[0:S]))
+    feas = jnp.maximum(feas, jnp.abs(y0p - yv[0:S]))
+    feas = jnp.maximum(feas, jnp.abs(th0p - thv[0:S]))
+    feas = jnp.maximum(feas, viol)
+
+    mu_fin = jnp.clip(
+        sigma_fin * tot / jnp.maximum(nu_cnt, 1.0),
+        jnp.float32(max(sc.mu_min, 50.0 * 1.1920929e-07)),
+        jnp.float32(sc.mu_init),
+    )
+    # f32 tolerance floor: 50 * sqrt(eps) (solver/ipm.py::_diagnostics).
+    tol = jnp.float32(max(sc.kkt_tol, 50.0 * 3.4526698e-04))
+    comp_scaled = comp / s_d
+    converged = (
+        (stationarity < tol)
+        & (feas < tol)
+        & (comp_scaled < jnp.maximum(jnp.float32(10.0 * sc.mu_min), tol))
+    ).astype(jnp.float32)
+
+    diag_ref[0 * S : 1 * S] = converged
+    diag_ref[1 * S : 2 * S] = stationarity
+    diag_ref[2 * S : 3 * S] = feas
+    diag_ref[3 * S : 4 * S] = comp
+    diag_ref[4 * S : 5 * S] = obj
+    diag_ref[5 * S : 6 * S] = mu_fin
 
 
 # ---------------------------------------------------------------------------
@@ -883,8 +1011,9 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
                       sb: int | None = None):
     """Solve a batched Problem with the fused IPM kernel.
 
-    Returns a `Solution` (diagnostics computed in jnp from the kernel's
-    final slacks/duals — one cheap pass).  Leaves of ``problems`` have a
+    Returns a `Solution` (exact KKT diagnostics computed in-kernel at the
+    final iterate — slacks/duals never leave VMEM).  Leaves of ``problems``
+    have a
     leading batch axis B.  f32 path.  The scenario tile defaults to
     ``cfg.solver.fused_block`` if set, else the module-level measured ``BT``;
     ``sb`` sublane sub-blocks per program default to
@@ -899,8 +1028,7 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
     # the tile to split evenly into sub-blocks.
     assert bt % (sb if interpret else 128 * sb) == 0, (bt, sb)
     lanes = bt // sb
-    from ...solver import ipm as ipm_mod
-    from ...solver.problem import Solution
+    from ...solver.problem import Diagnostics, Solution
 
     assert not cfg.solver.elastic_obstacles, (
         "elastic obstacle mode is implemented in the jnp path only; use "
@@ -989,7 +1117,7 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(ipm_fused_kernel, cfg, sb)
-    out_rows = [T1, T1, T1, N, N, 4 * N, 4 * N, 6 * T1, 6 * T1, kn, kn]
+    out_rows = [T1, T1, T1, N, N, 6]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1004,61 +1132,33 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
             pltpu.VMEM((3 * T1 * sb, lanes), f32),
             pltpu.VMEM((2 * N * sb, lanes), f32),
             pltpu.VMEM((18 * T1 * sb, lanes), f32),
+            # Slack/dual iterate state: scratch, not outputs — the exact KKT
+            # diagnostics are computed in-kernel, so these planes never
+            # leave VMEM (saves their HBM round-trip and the double-buffered
+            # output allocation that blocked sublane packing at K=8).
+            pltpu.VMEM((4 * N * sb, lanes), f32),
+            pltpu.VMEM((4 * N * sb, lanes), f32),
+            pltpu.VMEM((6 * T1 * sb, lanes), f32),
+            pltpu.VMEM((6 * T1 * sb, lanes), f32),
+            pltpu.VMEM((kn * sb, lanes), f32),
+            pltpu.VMEM((kn * sb, lanes), f32),
         ],
         interpret=interpret,
     )(scal, warm, tx, ty, obinfo)
 
-    (x, y, th, v, w, s_c, nu_c, s_x, nu_x, s_ob, nu_ob) = outs
+    (x, y, th, v, w, dg) = outs
     states = jnp.stack([bm(x), bm(y), bm(th)], axis=-1)  # [B, T1, 3]
     controls = jnp.stack([bm(v), bm(w)], axis=-1)  # [B, N, 2]
 
-    # Rebuild an IPMState and reuse the jnp diagnostics (one cheap pass).
-    def unpack_c(a, blk):
-        return bm(a[blk * N * sb : (blk + 1) * N * sb])
+    def drow(i):
+        return bm(dg[i * sb : (i + 1) * sb])[:, 0]
 
-    def unpack_x(a, blk):
-        return bm(a[blk * T1 * sb : (blk + 1) * T1 * sb])
-
-    s_cl = jnp.stack([unpack_c(s_c, 0), unpack_c(s_c, 2)], axis=-1)
-    s_cu = jnp.stack([unpack_c(s_c, 1), unpack_c(s_c, 3)], axis=-1)
-    nu_cl = jnp.stack([unpack_c(nu_c, 0), unpack_c(nu_c, 2)], axis=-1)
-    nu_cu = jnp.stack([unpack_c(nu_c, 1), unpack_c(nu_c, 3)], axis=-1)
-    s_xl = jnp.stack([unpack_x(s_x, i) for i in range(3)], axis=-1)
-    s_xu = jnp.stack([unpack_x(s_x, 3 + i) for i in range(3)], axis=-1)
-    nu_xl = jnp.stack([unpack_x(nu_x, i) for i in range(3)], axis=-1)
-    nu_xu = jnp.stack([unpack_x(nu_x, 3 + i) for i in range(3)], axis=-1)
-    if K > 0:
-        s_ob_b = jnp.stack(
-            [bm(s_ob[k * N * sb : (k + 1) * N * sb]) for k in range(K)],
-            axis=-1,
-        )
-        nu_ob_b = jnp.stack(
-            [bm(nu_ob[k * N * sb : (k + 1) * N * sb]) for k in range(K)],
-            axis=-1,
-        )
-    else:
-        s_ob_b = jnp.ones((B, N, 0), f32)
-        nu_ob_b = jnp.zeros((B, N, 0), f32)
-
-    def diag_one(states_i, controls_i, it_fields, problem_i):
-        it = ipm_mod.IPMState(
-            states_i, controls_i, *it_fields,
-            jnp.ones_like(it_fields[4]),  # e_ob (fused path is non-elastic)
-            jnp.zeros((), f32),  # reg (unused by diagnostics)
-            jnp.asarray(cfg.solver.mu_sigma, f32),  # sigma (final-mu report)
-        )
-        masks = ipm_mod._constraint_masks(cfg, problem_i, f32)
-        mu = ipm_mod._adaptive_mu(cfg, it, masks, f32)
-        return ipm_mod._diagnostics(cfg, problem_i, it, mu)
-
-    # Full-precision matmuls for the KKT residual sweep: the TPU bf16
-    # default corrupts the adjoint recursion and misreports convergence
-    # (see solver/ipm.py::solve).
-    with jax.default_matmul_precision("float32"):
-        diag = jax.vmap(diag_one)(
-            states, controls,
-            (s_cl, s_cu, s_xl, s_xu, s_ob_b, nu_cl, nu_cu, nu_xl, nu_xu,
-             nu_ob_b),
-            problems,
-        )
+    diag = Diagnostics(
+        converged=drow(0) > 0.5,
+        kkt_stationarity=drow(1),
+        kkt_feasibility=drow(2),
+        kkt_complementarity=drow(3),
+        final_cost=drow(4),
+        final_mu=drow(5),
+    )
     return Solution(states=states, controls=controls, diagnostics=diag)
