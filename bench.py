@@ -110,10 +110,14 @@ def main():
     head = _bench_config(jnp, jax, cfg0, pool0, rng)
 
     # --- production obstacle config: K=8 circles, 2 dynamic tracks ---
+    # fused_affine_tracks: scenario tracks are constant-velocity (the
+    # reference's prediction model), so the kernel reconstructs them from
+    # (c0, delta) rows — measured +5% at K=8/bt=128 (less input DMA).
     cfgK = MPCConfig(horizon=50, time_step=0.041, max_obstacles=8)
     cfgK = cfgK.replace(
         solver=dataclasses.replace(
-            cfgK.solver, iterations=32, refine_stages=STAGES_OBST
+            cfgK.solver, iterations=32, refine_stages=STAGES_OBST,
+            fused_affine_tracks=True,
         )
     )
     poolK = obstacle_problems(cfgK, POOL, seed=0, n_dynamic=2)

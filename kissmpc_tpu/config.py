@@ -117,6 +117,16 @@ class SolverConfig:
     # the measured default (`ops/pallas/ipm_fused.BT`); smaller tiles trade
     # throughput for VMEM headroom (large K needs it).
     fused_block: int = 0
+    # Affine obstacle-track compression for the fused kernel: pass each
+    # track as (position, per-step delta) — 2K input rows — and reconstruct
+    # center_t = c0 + t*d in-kernel, instead of shipping K*N track planes
+    # into VMEM (the dominant remaining VMEM cost at K=8, blocking sublane
+    # packing).  Exact for constant-velocity prediction
+    # (`obstacles.predict_tracks` with zero angular velocity — the
+    # reference's model, `obstacle_handling/dynamic_obstacle.py:20-37`);
+    # opt-in because the Problem API allows arbitrary curved tracks, which
+    # this would silently linearize through their first segment.
+    fused_affine_tracks: bool = False
     # Sublane sub-blocks per fused-kernel program (scenarios per program =
     # fused_block; lanes = fused_block / fused_sublanes).  >1 packs the
     # sequential Riccati sweep's per-time rows into (sb, 128) values so each

@@ -224,6 +224,28 @@ def ipm_fused_kernel(
             up(obinfo_ref[(K + k) * S : (K + k + 1) * S], N)
             for k in range(K)
         ]
+        affine = sc.fused_affine_tracks
+        if affine:
+            # t index per logical row (track column t covers state t+1).
+            trow_N = (
+                jax.lax.broadcasted_iota(jnp.int32, (N * S, 1), 0) // S
+            ).astype(jnp.float32)
+
+        def track_planes(k):
+            """Per-time track planes for obstacle k ([N*sb, L] each)."""
+            tx = tx_ref[:]
+            ty = ty_ref[:]
+            if affine:
+                return (
+                    up(tx[k * S : (k + 1) * S], N)
+                    + trow_N * up(tx[(K + k) * S : (K + k + 1) * S], N),
+                    up(ty[k * S : (k + 1) * S], N)
+                    + trow_N * up(ty[(K + k) * S : (K + k + 1) * S], N),
+                )
+            return (
+                tx[k * N * S : (k + 1) * N * S],
+                ty[k * N * S : (k + 1) * N * S],
+            )
 
     def families(xv, yv, thv, vv, wv, values_only=False):
         """Constraint values (+ normals) at a trial point (whole-array).
@@ -242,12 +264,11 @@ def ipm_fused_kernel(
         c_xl = [comps[i] - xlb_T[i] for i in range(3)]
         c_xu = [xub_T[i] - comps[i] for i in range(3)]
         if K > 0:
-            tx = tx_ref[:]
-            ty = ty_ref[:]
             obs = []
             for k in range(K):
-                dxk = xv[S:] - tx[k * N * S : (k + 1) * N * S]
-                dyk = yv[S:] - ty[k * N * S : (k + 1) * N * S]
+                tx_k, ty_k = track_planes(k)
+                dxk = xv[S:] - tx_k
+                dyk = yv[S:] - ty_k
                 dist = jnp.sqrt(dxk * dxk + dyk * dyk + 1e-16)
                 c_k = dist - rad_N[k] - infl_N
                 if values_only:
@@ -1091,8 +1112,25 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
         axis=0,
     )
     if K > 0:
-        tx = sm(problems.obstacle_centers[..., 0])  # [K*N*sb, Bp//sb]
-        ty = sm(problems.obstacle_centers[..., 1])
+        if cfg.solver.fused_affine_tracks:
+            # (c0, per-step delta) rows; the kernel reconstructs c0 + t*d.
+            c = problems.obstacle_centers  # [B, K, N, 2]
+            d = (
+                c[:, :, 1, :] - c[:, :, 0, :]
+                if N > 1
+                else jnp.zeros_like(c[:, :, 0, :])
+            )
+            tx = jnp.concatenate(
+                [sm(c[:, :, 0, 0]), sm(d[..., 0])], axis=0
+            )  # [2K*sb, Bp//sb]
+            ty = jnp.concatenate(
+                [sm(c[:, :, 0, 1]), sm(d[..., 1])], axis=0
+            )
+            kn_in = 2 * K
+        else:
+            tx = sm(problems.obstacle_centers[..., 0])  # [K*N*sb, Bp//sb]
+            ty = sm(problems.obstacle_centers[..., 1])
+            kn_in = K * N
         obinfo = jnp.concatenate(
             [
                 sm(problems.obstacle_radii),  # K
@@ -1109,6 +1147,7 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
         ty = jnp.zeros((sb, Bp // sb), f32)
         obinfo = jnp.zeros((sb, Bp // sb), f32)
         kn = 1
+        kn_in = 1
 
     grid = (nt,)
 
@@ -1121,7 +1160,7 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec(26), spec(3 * T1 + 2 * N), spec(kn), spec(kn),
+        in_specs=[spec(26), spec(3 * T1 + 2 * N), spec(kn_in), spec(kn_in),
                   spec(obinfo.shape[0] // sb)],
         out_specs=[spec(r) for r in out_rows],
         out_shape=[

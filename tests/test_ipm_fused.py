@@ -149,6 +149,48 @@ def test_fused_adaptive_sigma_matches_jnp():
     assert bool(jnp.all(fused.diagnostics.converged))
 
 
+def test_fused_affine_tracks_matches_full_tracks():
+    # fused_affine_tracks ships (c0, per-step delta) instead of K*N track
+    # planes; for constant-velocity tracks (the reference's prediction
+    # model) the in-kernel reconstruction c0 + t*d must reproduce the
+    # full-track kernel to f32 noise.
+    import dataclasses
+
+    from kissmpc_tpu.obstacles import ObstacleSet
+
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
+    obs = ObstacleSet(
+        position=jnp.array([[0.7, -0.3], [0.4, 0.6]], jnp.float32),
+        radius=jnp.array([0.15, 0.2], jnp.float32),
+        orientation=jnp.array([2.2, -0.8], jnp.float32),
+        linear_velocity=jnp.array([0.6, 0.4], jnp.float32),
+        angular_velocity=jnp.zeros((2,), jnp.float32),
+        active=jnp.ones((2,), jnp.float32),
+    )
+    ps = []
+    for s, g in [((0.0, 0.0, 0.0), (1.2, 0.1, 0.0)),
+                 ((0.0, -0.4, 0.5), (1.2, 0.3, 0.0))]:
+        ps.append(
+            problem_with_obstacles(
+                cfg, jnp.asarray(s, jnp.float32), jnp.asarray(g, jnp.float32),
+                obs, inflation_radius=0.25,
+                prediction_dt=cfg.time_step, dtype=jnp.float32,
+            )
+        )
+    problems = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    full = solve_batch_fused(cfg, problems, interpret=True, bt=8)
+    cfg_aff = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, fused_affine_tracks=True)
+    )
+    aff = solve_batch_fused(cfg_aff, problems, interpret=True, bt=8)
+    err = np.max(np.abs(np.asarray(aff.controls) - np.asarray(full.controls)))
+    assert err <= 1e-4, f"affine vs full tracks max control diff {err:.2e}"
+    np.testing.assert_array_equal(
+        np.asarray(aff.diagnostics.converged),
+        np.asarray(full.diagnostics.converged),
+    )
+
+
 def test_fused_sublane_packing_no_obstacles():
     cfg = MPCConfig(horizon=12, time_step=0.1)
     problems = _batch_problems(
