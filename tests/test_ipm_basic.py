@@ -129,3 +129,25 @@ def test_tiny_horizon():
     )
     assert bool(sol.diagnostics.converged)
     assert sol.controls.shape == (1, 2)
+
+
+def test_adaptive_sigma_preserves_easy_convergence():
+    # mu_sigma_max > 0 turns on per-scenario adaptive centering (jnp path).
+    # On healthy problems sigma must decay back to the configured schedule
+    # and the solution must match the fixed-schedule one within tolerance.
+    import dataclasses
+
+    cfg = MPCConfig(horizon=30, time_step=0.1)
+    cfg_ad = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, mu_sigma_max=0.7)
+    )
+    problem = default_problem(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.5, 0.8, 0.5]),
+        dtype=jnp.float64,
+    )
+    base = make_solver(cfg)(problem)
+    adapt = make_solver(cfg_ad)(problem)
+    assert bool(base.diagnostics.converged)
+    assert bool(adapt.diagnostics.converged)
+    err = float(jnp.max(jnp.abs(adapt.controls - base.controls)))
+    assert err <= 1e-4, err
