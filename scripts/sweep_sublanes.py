@@ -44,11 +44,20 @@ def main():
             probs = free_problems(cfg, B, seed=0)
         jax.block_until_ready(probs)
         ref_controls = None
-        for bt, sb in ((128, 1), (256, 2), (512, 4), (256, 1)):
+        variants = [(128, 1, False), (256, 2, False), (512, 4, False),
+                    (256, 1, False)]
+        if k:
+            variants += [(128, 1, True), (256, 2, True)]
+        for bt, sb, affine in variants:
+            cfgv = cfg.replace(
+                solver=dataclasses.replace(
+                    cfg.solver, fused_affine_tracks=affine
+                )
+            )
             try:
                 fn = jax.jit(
-                    lambda p, bt=bt, sb=sb: solve_batch_fused(
-                        cfg, p, bt=bt, sb=sb
+                    lambda p, cfgv=cfgv, bt=bt, sb=sb: solve_batch_fused(
+                        cfgv, p, bt=bt, sb=sb
                     )
                 )
                 t0 = time.time()
@@ -73,7 +82,7 @@ def main():
                         np.max(np.abs(np.asarray(sol.controls) - ref_controls))
                     )
                 r = {
-                    "config": tag, "bt": bt, "sb": sb,
+                    "config": tag, "bt": bt, "sb": sb, "affine": affine,
                     "solves_per_s": round(B / dt, 1),
                     "latency_ms": round(dt * 1e3, 2),
                     "converged": round(conv, 4),
@@ -81,7 +90,7 @@ def main():
                     "max_du_vs_first": du,
                 }
             except Exception as e:  # noqa: BLE001 — record OOM/compile fails
-                r = {"config": tag, "bt": bt, "sb": sb,
+                r = {"config": tag, "bt": bt, "sb": sb, "affine": affine,
                      "error": f"{type(e).__name__}: {str(e)[:200]}"}
             print("RESULT " + json.dumps(r), flush=True)
             results.append(r)
