@@ -71,12 +71,26 @@ def main():
     env = env_w
 
     agg = MetricsAggregator()
+    usable = []
     t_start = time.time()
     for t in range(ticks):
         t0 = time.perf_counter()
         env, info = stepper(env, obstacles)
         _ = float(jnp.sum(info.diagnostics.final_cost))
         agg.record_tick(time.perf_counter() - t0, info.diagnostics)
+        # A plan is *usable* when it passes the agent's fallback gate
+        # (equality/constraint residual below fallback_feasibility) even if
+        # strict KKT convergence was not certified — the robot acts on it.
+        usable.append(
+            float(
+                jnp.mean(
+                    (
+                        info.diagnostics.kkt_feasibility
+                        <= params.fallback_feasibility
+                    ).astype(jnp.float32)
+                )
+            )
+        )
         if t % 20 == 0:
             conv = float(
                 jnp.mean(info.diagnostics.converged.astype(jnp.float32))
@@ -103,6 +117,7 @@ def main():
         "latency_p99_ms": round(s["latency_p99_ms"], 2),
         "latency_mean_ms": round(s["latency_mean_ms"], 2),
         "converged_fraction_mean": round(s["converged_fraction_mean"], 4),
+        "usable_fraction_mean": round(float(np.mean(usable)), 4),
         "final_goal_reached": round(done, 4),
         "within_tick_budget": s["latency_p99_ms"] / 1e3 <= cfg.time_step,
     }
