@@ -28,6 +28,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     policy = sys.argv[3] if len(sys.argv) > 3 else "repair"
+    # "refine" = full staged-refinement schedule (certified-convergence
+    # mode); "base" = 32 base iterations only (real-time mode — uncertified
+    # ticks ride the agent's shifted-plan fallback gate).
+    schedule = sys.argv[4] if len(sys.argv) > 4 else "refine"
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/kissmpc_jax_cache")
@@ -47,7 +51,11 @@ def main():
         solver=dataclasses.replace(
             cfg.solver,
             iterations=32,
-            refine_stages=((0.125, 64, 0.2), (0.02, 96, 0.7)),
+            refine_stages=(
+                ((0.125, 64, 0.2), (0.02, 96, 0.7))
+                if schedule == "refine"
+                else ()
+            ),
             # Episode obstacle fields are constant-velocity tracks
             # (scenarios.episode_worlds), so the kernel can reconstruct
             # them from (c0, delta) rows (+5% measured at K=8).
@@ -111,6 +119,7 @@ def main():
         "batch": batch,
         "ticks": ticks,
         "warm_start_policy": policy,
+        "schedule": schedule,
         "episode_ticks_per_s": round(ticks / wall, 2),
         "solves_per_s": round(batch * ticks / wall, 1),
         "latency_p50_ms": round(s["latency_p50_ms"], 2),
