@@ -51,6 +51,13 @@ class AgentParams:
     # A solve with equality/constraint residual above this is treated as
     # failed and the previous (shifted) plan is kept (SURVEY.md 5.3).
     fallback_feasibility: float = 1e-2
+    # Prediction step for dynamic-obstacle tracks.  None reproduces the
+    # reference's hardcoded dt = 0.1 (`obstacle_handling/dynamic_obstacle.py:21`)
+    # — which the reference applies even when the *plan* step is 0.041, so
+    # its predicted humans move 2.4x faster than world time.  Closed-loop
+    # benches that advance obstacles in the world should set this to
+    # cfg.time_step so track column t matches the world at t plan steps.
+    prediction_dt: Optional[float] = None
     # Warm-start conditioning before each solve.  Repair (lateral projection
     # out of obstacle interiors) is vectorized and cheap; completion (re-roll
     # through the real dynamics) is a horizon-length sequential scan that
@@ -168,6 +175,7 @@ def build_problem(
         agent.goal_state,
         obstacles,
         sensor_radius=params.sensor_radius,
+        prediction_dt=params.prediction_dt,
         control_bounds=params.control_bounds,
         state_bounds=params.state_bounds,
         inflation_radius=params.inflation_radius,

@@ -159,6 +159,16 @@ class SolverConfig:
     # mu_sigma=0.7 -> 0.991).
     refine_stages: tuple = ()
 
+    def __post_init__(self):
+        # A positive cap below the base sigma makes the adaptive rule
+        # incoherent (growth clamps under the decay floor and sigma
+        # oscillates between mu_sigma and mu_sigma_max).
+        if 0.0 < self.mu_sigma_max < self.mu_sigma:
+            raise ValueError(
+                f"mu_sigma_max ({self.mu_sigma_max}) must be 0 (disabled) "
+                f"or >= mu_sigma ({self.mu_sigma})"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class MPCConfig:

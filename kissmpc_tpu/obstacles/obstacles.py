@@ -165,6 +165,46 @@ def predict_tracks(obs: ObstacleSet, horizon: int, dt: float = PREDICTION_DT):
     return jnp.swapaxes(track, 0, 1)  # [K, N, 2]
 
 
+def advance(obs: ObstacleSet, dt: float) -> ObstacleSet:
+    """One world-clock step of the constant-velocity unicycle obstacle model.
+
+    The closed-loop counterpart of `predict_tracks`: where prediction rolls
+    the model forward *hypothetically* over the plan horizon, this moves the
+    actual obstacle state by one environment tick (the reference's humans
+    move in the world between solves; its simulation loop keeps them frozen,
+    which makes closed-loop clearance unmeasurable).  Inactive slots don't
+    move.
+    """
+    act = obs.active > 0.5
+    new_pos = obs.position + jnp.where(
+        act[..., None],
+        jnp.stack(
+            [
+                obs.linear_velocity * jnp.cos(obs.orientation) * dt,
+                obs.linear_velocity * jnp.sin(obs.orientation) * dt,
+            ],
+            axis=-1,
+        ),
+        0.0,
+    )
+    new_theta = obs.orientation + jnp.where(
+        act, obs.angular_velocity * dt, 0.0
+    )
+    return obs._replace(position=new_pos, orientation=new_theta)
+
+
+def clearance_to_point(obs: ObstacleSet, point, robot_radius: float = 0.0):
+    """True (uninflated) physical clearance min_k |p - c_k| - r_k - r_robot.
+
+    The safety observable: negative means the robot disk overlaps an
+    obstacle disk — an actual collision, not a constraint-margin event
+    (the solver's constraints use the *inflated* radius, reference
+    `mpc/agent.py:149`).  Inactive slots report +inf.
+    """
+    d = distance_to_point(obs, point) - robot_radius
+    return jnp.min(d, axis=-1)
+
+
 def select_nearest(
     obs: ObstacleSet, point, sensor_radius: float, k: int
 ) -> ObstacleSet:

@@ -1120,6 +1120,20 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
                 if N > 1
                 else jnp.zeros_like(c[:, :, 0, :])
             )
+            # Guard (ADVICE r2): affine compression linearizes the track
+            # through its first segment — exact for the reference's
+            # constant-velocity prediction, silently wrong for curved
+            # tracks (angular_velocity != 0).  Certify per scenario and
+            # report non-convergence (plus gate-tripping infeasibility)
+            # where the data is not actually affine, so diagnostics never
+            # claim convergence against a different problem.
+            t_idx = jnp.arange(N, dtype=f32)[None, None, :, None]
+            recon = c[:, :, 0:1, :] + t_idx * d[:, :, None, :]
+            affine_dev = jnp.max(
+                jnp.abs(recon - c)
+                * problems.obstacle_mask[..., None, None],
+                axis=(1, 2, 3),
+            )  # [B]
             tx = jnp.concatenate(
                 [sm(c[:, :, 0, 0]), sm(d[..., 0])], axis=0
             )  # [2K*sb, Bp//sb]
@@ -1192,10 +1206,20 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
     def drow(i):
         return bm(dg[i * sb : (i + 1) * sb])[:, 0]
 
+    converged = drow(0) > 0.5
+    feas = drow(2)
+    if K > 0 and cfg.solver.fused_affine_tracks:
+        # Non-affine tracks were solved against the wrong constraints:
+        # withdraw the convergence certificate and surface the deviation as
+        # infeasibility (trips the agent's fallback gate).  1e-4 m sits far
+        # above f32 reconstruction rounding and far below real curvature.
+        affine_ok = affine_dev <= 1e-4
+        converged = converged & affine_ok
+        feas = jnp.maximum(feas, jnp.where(affine_ok, 0.0, affine_dev))
     diag = Diagnostics(
-        converged=drow(0) > 0.5,
+        converged=converged,
         kkt_stationarity=drow(1),
-        kkt_feasibility=drow(2),
+        kkt_feasibility=feas,
         kkt_complementarity=drow(3),
         final_cost=drow(4),
         final_mu=drow(5),

@@ -86,14 +86,38 @@ def distribute_local_batch(mesh: Mesh, local_problems):
     )
 
 
-def health_check(mesh: Mesh) -> bool:
-    """One all-reduce heartbeat over the full mesh; True if every device
-    contributed a finite value (SURVEY.md 5.3 rebuild note)."""
+def health_check(mesh: Mesh, timeout_s: float = 10.0) -> bool:
+    """One all-reduce heartbeat over the full mesh; True iff every device
+    contributed a finite value within ``timeout_s`` (SURVEY.md 5.3).
+
+    The failure this exists to detect — a crashed or hung peer — makes the
+    collective *block*, not error, so the reduction runs on a daemon thread
+    and the caller waits at most ``timeout_s``: timeout, exception, or a
+    wrong/non-finite total all report unhealthy.  (The orphaned thread stays
+    parked on the dead collective; callers should treat False as fatal for
+    this runtime and recover by restarting from a checkpoint — see
+    tests/test_multihost.py's failure-injection drill.)
+    """
+    import threading
+
     import jax.numpy as jnp
 
-    ones = jax.device_put(
-        jnp.ones((mesh.devices.size,), jnp.float32),
-        NamedSharding(mesh, P(mesh.axis_names)),
-    )
-    total = jax.jit(lambda x: jnp.sum(x))(ones)
-    return bool(np.isfinite(float(total))) and float(total) == mesh.devices.size
+    result = {}
+
+    def _beat():
+        try:
+            ones = jax.device_put(
+                jnp.ones((mesh.devices.size,), jnp.float32),
+                NamedSharding(mesh, P(mesh.axis_names)),
+            )
+            result["total"] = float(jax.jit(jnp.sum)(ones))
+        except Exception as e:  # dead peer often surfaces as a runtime error
+            result["error"] = e
+
+    t = threading.Thread(target=_beat, daemon=True, name="health_check")
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or "error" in result or "total" not in result:
+        return False
+    total = result["total"]
+    return bool(np.isfinite(total)) and total == mesh.devices.size

@@ -57,6 +57,7 @@ def sample_obstacle_field(
     radius_range=(0.15, 0.45),
     lateral_sigma: float = 0.35,
     endpoint_margin: float = 0.12,
+    clear_points=(),
 ):
     """Sample K circles per scenario straddling the start->goal segment.
 
@@ -88,9 +89,16 @@ def sample_obstacle_field(
     # clearance disks allow, the goal side keeps a (harmless) residual
     # violation — a goal inside an obstacle just parks the optimum at the
     # boundary.
+    # ``clear_points`` extends the clearing to further waypoints (episode
+    # worlds): a waypoint swallowed by a circle is unreachable and parks its
+    # episode at the boundary forever.  The start push stays LAST and all
+    # clearing precedes the dynamic-sweep guard below (moving a dynamic
+    # obstacle after the guard would stale its redirect and let its track
+    # sweep the pinned start — measured as rare closed-loop collisions).
     need = radii + inflation + endpoint_margin
-    for _ in range(3):
-        for p in (goals[:, :2], starts[:, :2]):
+    points = [goals[:, :2]] + [np.asarray(p)[:, :2] for p in clear_points]
+    for _ in range(3 + 2 * bool(len(clear_points))):
+        for p in points + [starts[:, :2]]:
             d = centers - p[:, None, :]  # [B, K, 2]
             dist = np.maximum(np.linalg.norm(d, axis=-1), 1e-6)
             push = np.maximum(need - dist, 0.0)
@@ -227,9 +235,14 @@ def episode_worlds(
     waypoints = np.stack(hops, axis=1)  # [B, W, 3]
 
     if K > 0:
+        # Waypoints must be *reachable*: the reference's waypoints come from
+        # a global planner that places them in free space by construction
+        # (`ros2interface.py:109-174`); clear_points pushes circles off every
+        # hop (measured r3: without it 33% of episodes read "stuck", largely
+        # waypoints swallowed by obstacles re-failing the solve every tick).
         centers, radii, orientation, v = sample_obstacle_field(
             starts, first_goal, K, rng, n_dynamic=n_dynamic,
-            inflation=inflation,
+            inflation=inflation, clear_points=hops[1:],
         )
         obstacles = ObstacleSet(
             position=jnp.asarray(centers, dtype),

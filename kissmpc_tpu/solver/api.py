@@ -32,11 +32,16 @@ def make_solver(cfg: MPCConfig):
 
 def _dispatch(cfg: MPCConfig, problems: Problem) -> Solution:
     """Backend dispatch for one batched solve (no refinement, no jit)."""
-    use_fused = (
-        cfg.solver.solve_backend == "fused"
-        and not cfg.solver.elastic_obstacles
-        and jax.devices()[0].platform != "cpu"
-    )
+    on_accel = jax.devices()[0].platform != "cpu"
+    if cfg.solver.elastic_obstacles and cfg.solver.solve_backend == "fused":
+        # Elastic mode exists only in the jnp path; silently falling back
+        # would cost ~2x throughput on a production flag flip.  Refuse
+        # loudly (on every platform, so CPU tests catch the combination).
+        raise ValueError(
+            "elastic_obstacles is implemented in the jnp path only; set "
+            "solve_backend='split' to opt into the non-fused solver"
+        )
+    use_fused = cfg.solver.solve_backend == "fused" and on_accel
     # dtype is static at trace time: the fused kernel is f32-only,
     # f64 batches take the jnp path.
     if use_fused and problems.initial_state.dtype == jnp.float32:

@@ -306,7 +306,9 @@ def problem_with_obstacles(
     (measured closed-loop converged fraction 0.78 -> 0.94 at B=4096/K=8 when
     epsilon-repairs keep the carried plan; scripts/bench_fleet_episodes.py).
     Deep intrusions (a newly sensed obstacle overlapping the plan) still get
-    the feasibility rollout.
+    the feasibility rollout.  The two switches are independent: completion
+    with ``repair_warm_start_states=False`` gates on the warm start's own
+    worst inflated-obstacle intrusion instead of the repair displacement.
     """
     from ..obstacles import obstacles as obs_mod
 
@@ -325,20 +327,44 @@ def problem_with_obstacles(
         obstacle_mask=nearest.active,
         **kwargs,
     )
-    if repair_warm_start_states and cfg.max_obstacles > 0:
-        repaired = repair_warm_start(
-            problem.warm_states,
-            problem.obstacle_centers,
-            problem.obstacle_radii,
-            problem.obstacle_mask,
-            problem.inflation_radius,
-        )
+    if cfg.max_obstacles > 0 and (
+        repair_warm_start_states or complete_warm_start_states
+    ):
+        if repair_warm_start_states:
+            repaired = repair_warm_start(
+                problem.warm_states,
+                problem.obstacle_centers,
+                problem.obstacle_radii,
+                problem.obstacle_mask,
+                problem.inflation_radius,
+            )
+        else:
+            repaired = problem.warm_states
         # Unmoved warm starts pass through bit-identical (the repair's push
         # magnitude is exactly zero there); epsilon-moved ones keep the
         # repaired geometry with the carried controls; only substantially
         # moved ones (reachability genuinely in question) get the rollout.
-        moved = jnp.max(jnp.abs(repaired - problem.warm_states))
+        # Without repair, completion gates on the warm start's own worst
+        # (inflated) obstacle intrusion instead of the repair displacement.
         if complete_warm_start_states:
+            if repair_warm_start_states:
+                moved = jnp.max(jnp.abs(repaired - problem.warm_states))
+            else:
+                diff = (
+                    problem.warm_states[1:, None, :2]
+                    - jnp.swapaxes(problem.obstacle_centers, 0, 1)
+                )  # [N, K, 2]
+                dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+                intrusion = (
+                    problem.obstacle_radii[None, :]
+                    + problem.inflation_radius
+                    - dist
+                )
+                moved = jnp.max(
+                    jnp.where(
+                        problem.obstacle_mask[None, :] > 0.5, intrusion, 0.0
+                    )
+                )
             rolled_states, rolled_controls = complete_warm_start(
                 repaired,
                 problem.initial_state,

@@ -105,6 +105,68 @@ def main():
         else None,
     }
 
+    # --- disagreement-tail classification (VERDICT r2 item 4) ------------
+    # For every scenario where BOTH backends certify convergence yet the
+    # controls differ beyond the 1e-3 parity budget, prove the disagreement
+    # is multimodality (two valid KKT points in different basins), not a
+    # hidden kernel bug: (a) compare objectives, (b) compare the turn
+    # signature (go-left/go-right), (c) independently certify each
+    # backend's iterate by polishing it with the *split* solver warm-started
+    # exactly there — a genuine local optimum is a fixed point (the polish
+    # returns to it), a corrupted iterate is not.
+    dis = both_conv & (per_scen > 1e-3)
+    idx = np.nonzero(dis)[0]
+    tail = {"count": int(idx.size)}
+    if idx.size:
+        jidx = jnp.asarray(idx)
+        sub = jax.tree.map(lambda x: x[jidx], problems)
+        cost_f = np.asarray(sol_f.diagnostics.final_cost)[idx]
+        cost_s = np.asarray(sol_s.diagnostics.final_cost)[idx]
+        # Turn signature: sign of the early-horizon mean angular velocity.
+        wf = np.asarray(sol_f.controls)[idx, :10, 1].mean(axis=1)
+        ws = np.asarray(sol_s.controls)[idx, :10, 1].mean(axis=1)
+        opposite = (np.sign(wf) != np.sign(ws)) & (np.abs(wf - ws) > 1e-2)
+        cfg_p = cfg.replace(
+            solver=dataclasses.replace(
+                cfg.solver, iterations=24, solve_backend="split"
+            )
+        )
+        polish = make_batch_solver(cfg_p)
+
+        def polish_move(sol):
+            warm = sub._replace(
+                warm_states=jnp.asarray(np.asarray(sol.states)[idx]),
+                warm_controls=jnp.asarray(np.asarray(sol.controls)[idx]),
+            )
+            out = polish(warm)
+            return (
+                np.abs(
+                    np.asarray(out.controls) - np.asarray(sol.controls)[idx]
+                ).reshape(idx.size, -1).max(axis=1),
+                np.asarray(out.diagnostics.converged),
+            )
+
+        move_f, pconv_f = polish_move(sol_f)
+        move_s, pconv_s = polish_move(sol_s)
+        rel_cost = np.abs(cost_f - cost_s) / np.maximum(
+            1.0, np.minimum(cost_f, cost_s)
+        )
+        stable = 5e-3  # polish movement below this = fixed point (f32)
+        tail.update(
+            {
+                "frac_opposite_turn": float(np.mean(opposite)),
+                "rel_cost_diff_max": float(rel_cost.max()),
+                "rel_cost_diff_p50": float(np.percentile(rel_cost, 50)),
+                "polish_move_fused_max": float(move_f.max()),
+                "polish_move_split_max": float(move_s.max()),
+                "frac_fused_fixed_point": float(np.mean(move_f < stable)),
+                "frac_split_fixed_point": float(np.mean(move_s < stable)),
+                "frac_both_kkt_comparable_cost": float(
+                    np.mean((move_f < stable) & (move_s < stable))
+                ),
+            }
+        )
+
     # --- clearance on the fused solution ---
     p = np.asarray(sol_f.states)[:, 1:, :2]  # [B, N, 2]
     c = np.swapaxes(np.asarray(problems.obstacle_centers), 1, 2)  # [B,N,K,2]
@@ -139,6 +201,7 @@ def main():
         "split_solves_per_s": round(B / dt_s, 1),
         "split_converged": round(conv_s, 4),
         "parity": parity,
+        "disagreement_tail": tail,
         "clearance": clearance,
     }
     print("RESULT " + json.dumps(out), flush=True)

@@ -74,7 +74,12 @@ def test_elastic_no_dual_explosion_on_symmetric_deadlock():
         inflation_radius=0.2,
         warm_states=jnp.asarray(warm_states),
         warm_controls=jnp.asarray(warm_controls),
+        # Both conditioning passes off: the *adversarial* warm start (straight
+        # through the disk on its symmetry axis) must reach the solver.
+        # (Completion now acts independently of repair — ADVICE r2 — and
+        # would otherwise make this warm start feasible by construction.)
         repair_warm_start_states=False,
+        complete_warm_start_states=False,
         dtype=jnp.float64,
     )
     sol = ipm.solve(cfg, problem)
@@ -83,3 +88,25 @@ def test_elastic_no_dual_explosion_on_symmetric_deadlock():
     assert float(d.kkt_stationarity) < 1e-2  # stationary (elastic KKT)
     assert float(d.kkt_feasibility) > 0.1  # honestly infeasible
     assert not bool(d.converged)
+
+
+def test_fused_dispatch_refuses_elastic():
+    # VERDICT r2 item 7: elastic mode exists only in the jnp path; the fused
+    # backend must refuse loudly instead of silently changing backend (a
+    # ~2x throughput cliff on a config flag).
+    import pytest
+
+    from kissmpc_tpu.scenarios import free_problems
+    from kissmpc_tpu.solver.api import solve_batch
+
+    cfg = _elastic(MPCConfig(horizon=8, time_step=0.1))
+    problems = free_problems(cfg, 2)
+    with pytest.raises(ValueError, match="elastic"):
+        solve_batch(cfg, problems)
+
+    # The split backend accepts the combination.
+    cfg_split = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, solve_backend="split")
+    )
+    sol = solve_batch(cfg_split, problems)
+    assert bool(jnp.all(jnp.isfinite(sol.diagnostics.final_cost)))

@@ -204,3 +204,95 @@ def test_fused_sublane_packing_no_obstacles():
         np.abs(np.asarray(packed.controls) - np.asarray(flat.controls))
     )
     assert err <= 1e-5, f"sb=2 vs flat max control diff {err:.2e}"
+
+
+def test_fused_affine_guard_flags_curved_tracks():
+    # ADVICE r2: enabling fused_affine_tracks on *curved* tracks linearizes
+    # the constraints through their first segment; the wrapper must withdraw
+    # the convergence certificate and trip the fallback gate rather than
+    # report convergence against the wrong problem.
+    import dataclasses
+
+    from kissmpc_tpu.obstacles import ObstacleSet
+
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=1)
+    cfg_aff = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, fused_affine_tracks=True)
+    )
+    curved = ObstacleSet(
+        position=jnp.array([[0.7, -0.3]], jnp.float32),
+        radius=jnp.array([0.15], jnp.float32),
+        orientation=jnp.array([2.2], jnp.float32),
+        linear_velocity=jnp.array([0.6], jnp.float32),
+        angular_velocity=jnp.array([0.8], jnp.float32),  # curves the track
+        active=jnp.ones((1,), jnp.float32),
+    )
+    p = problem_with_obstacles(
+        cfg, jnp.zeros(3, jnp.float32),
+        jnp.asarray([1.2, 0.1, 0.0], jnp.float32), curved,
+        inflation_radius=0.25, prediction_dt=cfg.time_step,
+        dtype=jnp.float32,
+    )
+    problems = jax.tree.map(lambda x: x[None], p)
+    sol = solve_batch_fused(cfg_aff, problems, interpret=True, bt=8)
+    assert not bool(jnp.any(sol.diagnostics.converged))
+    assert float(jnp.min(sol.diagnostics.kkt_feasibility)) > 1e-2
+
+    # Straight tracks (zero angular velocity) pass the guard untouched.
+    straight = curved._replace(angular_velocity=jnp.zeros((1,), jnp.float32))
+    p2 = problem_with_obstacles(
+        cfg, jnp.zeros(3, jnp.float32),
+        jnp.asarray([1.2, 0.1, 0.0], jnp.float32), straight,
+        inflation_radius=0.25, prediction_dt=cfg.time_step,
+        dtype=jnp.float32,
+    )
+    problems2 = jax.tree.map(lambda x: x[None], p2)
+    sol2 = solve_batch_fused(cfg_aff, problems2, interpret=True, bt=8)
+    ref2 = solve_batch_fused(cfg, problems2, interpret=True, bt=8)
+    np.testing.assert_array_equal(
+        np.asarray(sol2.diagnostics.converged),
+        np.asarray(ref2.diagnostics.converged),
+    )
+
+
+def test_fused_diagnostics_match_jnp_on_same_iterate():
+    # ADVICE r2: the in-kernel KKT diagnostics duplicate
+    # solver/ipm.py::_diagnostics by hand.  With iterations=0 both backends
+    # evaluate diagnostics at the *identical* point (warm start + identical
+    # slack/dual init), so every Diagnostics field must agree to f32
+    # rounding — a drift in tolerances, s_d scaling, or the adjoint sweep
+    # fails loudly here.
+    import dataclasses
+
+    cfg0 = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
+    cfg0 = cfg0.replace(
+        solver=dataclasses.replace(cfg0.solver, iterations=0)
+    )
+    obs = static_set(
+        [[0.6, 0.05], [1.8, 1.5]], [0.2, 0.25], max_obstacles=2,
+        dtype=jnp.float32,
+    )
+    ps = []
+    for s, g in [((0.0, 0.0, 0.0), (1.2, 0.1, 0.0)),
+                 ((0.0, -0.4, 0.5), (1.5, 0.9, 0.0)),
+                 ((0.3, 0.2, -1.0), (-0.5, 0.4, 1.0))]:
+        ps.append(
+            problem_with_obstacles(
+                cfg0, jnp.asarray(s, jnp.float32),
+                jnp.asarray(g, jnp.float32), obs,
+                inflation_radius=0.25, dtype=jnp.float32,
+            )
+        )
+    problems = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    fused = solve_batch_fused(cfg0, problems, interpret=True, bt=8)
+    ref = jax.vmap(functools.partial(ipm.solve, cfg0))(problems)
+    fd, rd = fused.diagnostics, ref.diagnostics
+    np.testing.assert_array_equal(
+        np.asarray(fd.converged), np.asarray(rd.converged)
+    )
+    for name in ("kkt_stationarity", "kkt_feasibility",
+                 "kkt_complementarity", "final_cost", "final_mu"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fd, name)), np.asarray(getattr(rd, name)),
+            rtol=2e-5, atol=1e-6, err_msg=name,
+        )

@@ -75,3 +75,43 @@ def test_two_process_fleet_solve():
     cost = float(jnp.mean(sol.diagnostics.final_cost))
     np.testing.assert_allclose(outs[0]["converged_fraction"], conv, atol=1e-6)
     np.testing.assert_allclose(outs[0]["mean_cost"], cost, rtol=1e-5)
+
+
+_FAULT_WORKER = os.path.join(os.path.dirname(__file__), "_fault_worker.py")
+
+
+def test_failure_injection_detect_and_recover(tmp_path):
+    """Kill one of two processes mid-run: the survivor must *detect* the dead
+    peer (health_check timeout — the collective otherwise hangs forever) and
+    *recover* by resuming its checkpointed fleet shard on local devices
+    (SURVEY.md 5.3 elastic recovery; VERDICT r2 item 6)."""
+    port = _free_port()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _FAULT_WORKER, str(pid), "2", str(port),
+             str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    stdout1, _ = procs[1].communicate(timeout=540)
+    assert procs[1].returncode == 13, stdout1  # died as instructed
+    stdout0, stderr0 = procs[0].communicate(timeout=540)
+    assert procs[0].returncode == 0, f"survivor failed:\n{stdout0}\n{stderr0}"
+    lines = [l for l in stdout0.splitlines() if l.startswith("WORKER ")]
+    assert lines, f"no WORKER line:\n{stdout0}\n{stderr0}"
+    out = json.loads(lines[-1][len("WORKER "):])
+    assert out["healthy_before"] is True
+    assert out["detected_failure"] is True
+    assert out["resumed_tick"] == 1
+    # Warm-started from the checkpointed solution, the resumed shard solves.
+    assert out["recovered_converged_fraction"] >= 0.9
+    assert out["recovered_cost_finite"] is True

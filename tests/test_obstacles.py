@@ -229,6 +229,7 @@ def test_complete_warm_start_feasible_by_construction():
         warm_states=jnp.asarray(warm_states),
         warm_controls=jnp.tile(jnp.array([0.5, 0.0]), (cfg.horizon, 1)),
         repair_warm_start_states=False,
+        complete_warm_start_states=False,  # raw warm start; completed below
         dtype=jnp.float64,
     )
     states, controls = complete_warm_start(
@@ -379,3 +380,106 @@ def test_padding_mask_is_inert():
     np.testing.assert_allclose(
         np.asarray(sol0.controls), np.asarray(sol2.controls), atol=1e-8
     )
+
+
+def test_completion_honored_without_repair():
+    # ADVICE r2: complete_warm_start_states used to be silently ignored when
+    # repair_warm_start_states=False; it must act independently, gated on the
+    # warm start's own obstacle intrusion.
+    import jax.numpy as jnp
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu.obstacles import static_set
+    from kissmpc_tpu.solver.problem import problem_with_obstacles
+
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=1)
+    obs = static_set([[0.6, 0.0]], [0.2], max_obstacles=1, dtype=jnp.float32)
+    # Straight-through warm start: cuts the inflated disk by construction.
+    warm = jnp.stack(
+        [
+            jnp.linspace(0.0, 1.2, cfg.horizon + 1),
+            jnp.zeros(cfg.horizon + 1),
+            jnp.zeros(cfg.horizon + 1),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    kw = dict(
+        inflation_radius=0.25,
+        warm_states=warm,
+        dtype=jnp.float32,
+    )
+    p = problem_with_obstacles(
+        cfg, jnp.zeros(3, jnp.float32),
+        jnp.asarray([1.2, 0.0, 0.0], jnp.float32), obs,
+        repair_warm_start_states=False, complete_warm_start_states=True, **kw
+    )
+    moved = float(jnp.max(jnp.abs(p.warm_states - warm)))
+    assert moved > 0.05, "completion did not fire without repair"
+    # The completed warm start clears the inflated disk.
+    d = jnp.linalg.norm(
+        p.warm_states[1:, :2] - jnp.asarray([0.6, 0.0]), axis=1
+    )
+    assert float(jnp.min(d)) >= 0.2 + 0.25 - 1e-3
+
+    # Both off: warm start passes through untouched.
+    p0 = problem_with_obstacles(
+        cfg, jnp.zeros(3, jnp.float32),
+        jnp.asarray([1.2, 0.0, 0.0], jnp.float32), obs,
+        repair_warm_start_states=False, complete_warm_start_states=False,
+        **kw
+    )
+    assert float(jnp.max(jnp.abs(p0.warm_states - warm))) == 0.0
+
+
+def test_mu_sigma_max_validated():
+    import dataclasses
+
+    import pytest
+
+    from kissmpc_tpu.config import SolverConfig
+
+    with pytest.raises(ValueError, match="mu_sigma_max"):
+        SolverConfig(mu_sigma=0.2, mu_sigma_max=0.1)
+    # 0 disables; >= mu_sigma is legal.
+    SolverConfig(mu_sigma=0.2, mu_sigma_max=0.0)
+    SolverConfig(mu_sigma=0.2, mu_sigma_max=0.7)
+
+
+def test_advance_and_clearance():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kissmpc_tpu.obstacles.obstacles import (
+        ObstacleSet, advance, clearance_to_point, predict_tracks,
+    )
+
+    obs = ObstacleSet(
+        position=jnp.array([[1.0, 0.0], [0.0, 2.0]], jnp.float32),
+        radius=jnp.array([0.3, 0.2], jnp.float32),
+        orientation=jnp.array([0.0, jnp.pi / 2], jnp.float32),
+        linear_velocity=jnp.array([1.0, 0.5], jnp.float32),
+        angular_velocity=jnp.array([0.0, 0.1], jnp.float32),
+        active=jnp.array([1.0, 0.0], jnp.float32),
+    )
+    dt = 0.1
+    stepped = advance(obs, dt)
+    np.testing.assert_allclose(
+        np.asarray(stepped.position[0]), [1.1, 0.0], atol=1e-6
+    )
+    # Inactive slots do not move.
+    np.testing.assert_allclose(
+        np.asarray(stepped.position[1]), [0.0, 2.0], atol=1e-6
+    )
+    # advance iterated = predict_tracks columns (same model, same dt).
+    track = predict_tracks(obs, 4, dt)  # [K, 4, 2]; col t = pos after t steps
+    o = obs
+    for t in range(4):
+        np.testing.assert_allclose(
+            np.asarray(o.position[0]), np.asarray(track[0, t]), atol=1e-5
+        )
+        o = advance(o, dt)
+
+    # True clearance: |p - c| - r - r_robot, inactive -> +inf ignored.
+    clr = clearance_to_point(obs, jnp.array([0.0, 0.0]), robot_radius=0.3)
+    np.testing.assert_allclose(float(clr), 1.0 - 0.3 - 0.3, atol=1e-6)
