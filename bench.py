@@ -118,6 +118,10 @@ def main():
         solver=dataclasses.replace(
             cfgK.solver, iterations=32, refine_stages=STAGES_OBST,
             fused_affine_tracks=True,
+            # Per-scenario adaptive centering: converts merit-stalled
+            # scenarios inside the base solve at zero latency cost
+            # (scripts/sweep_fleet_schedule.py, r3).
+            mu_sigma_max=0.7,
         )
     )
     poolK = obstacle_problems(cfgK, POOL, seed=0, n_dynamic=2)

@@ -247,22 +247,30 @@ def ipm_fused_kernel(
                 ty[k * N * S : (k + 1) * N * S],
             )
 
-    def families(xv, yv, thv, vv, wv, values_only=False):
+    def families(xv, yv, thv, vv, wv, values_only=False,
+                 obstacles_only=False):
         """Constraint values (+ normals) at a trial point (whole-array).
 
         ``values_only`` skips the obstacle normals — line-search trial
         evaluations need only constraint values, and the normal planes
         (2K x [N*sb, L]) are the kernel's largest transient VMEM cost.
         The safe distance is recoverable as c + r + infl (see condensation),
-        so it is not carried either.
+        so it is not carried either.  ``obstacles_only`` additionally skips
+        the box families: their trial values are affine in alpha, so the
+        line search recovers their merit contribution in closed form
+        ((1 - alpha) * consist0 — see merit_at) and never needs them.
         """
-        c_vl = vv - v_lb_N
-        c_vu = v_ub_N - vv
-        c_wl = wv - w_lb_N
-        c_wu = w_ub_N - wv
-        comps = (xv, yv, thv)
-        c_xl = [comps[i] - xlb_T[i] for i in range(3)]
-        c_xu = [xub_T[i] - comps[i] for i in range(3)]
+        if obstacles_only:
+            c_vl = c_vu = c_wl = c_wu = None
+            c_xl = c_xu = [None, None, None]
+        else:
+            c_vl = vv - v_lb_N
+            c_vu = v_ub_N - vv
+            c_wl = wv - w_lb_N
+            c_wu = w_ub_N - wv
+            comps = (xv, yv, thv)
+            c_xl = [comps[i] - xlb_T[i] for i in range(3)]
+            c_xu = [xub_T[i] - comps[i] for i in range(3)]
         if K > 0:
             obs = []
             for k in range(K):
@@ -309,6 +317,11 @@ def ipm_fused_kernel(
             s, nu = init_pair(obs[k][0], obm_N[k])
             s_ob_ref[k * N * S : (k + 1) * N * S] = s
             nu_ob_ref[k * N * S : (k + 1) * N * S] = nu
+
+    def _log_consist(c, mask, s):
+        lg = _reduce_sum(mask * jnp.log(jnp.maximum(s, 1e-30)))
+        cs = _reduce_sum(mask * jnp.abs(c - s))
+        return lg, cs
 
     # --- helper: load family tuples from refs ----------------------------
     def load_fams(cv, cxl, cxu, obsv):
@@ -373,11 +386,30 @@ def ipm_fused_kernel(
         )
         return obj, eq, (ct, st, d0r, d1r, d2r)
 
+    # Initial merit components at the warm-start iterate.  (obj, log, eq +
+    # consist) are carried across iterations: each iteration *recomposes*
+    # merit0 = obj - mu*log + rho*eqc with its fresh mu/rho instead of
+    # re-evaluating the merit at alpha=0 — exactly one of the ls_iters + 1
+    # full merit evaluations per iteration, for three extra carry rows.
+    fams0 = load_fams((c_vl, c_vu, c_wl, c_wu), c_xl, c_xu, obs)
+    m_obj0, m_eq0, _ = merit_terms(
+        x_ref[:], y_ref[:], th_ref[:], v_ref[:], w_ref[:]
+    )
+    m_log0 = jnp.zeros_like(x0p)
+    m_cons0 = jnp.zeros_like(x0p)
+    for f in fams0.values():
+        lg, cs = _log_consist(f.c, f.mask, f.s)
+        m_log0 = m_log0 + lg
+        m_cons0 = m_cons0 + cs
+    m_eqc0 = m_eq0 + m_cons0
+
     adaptive_sigma = sc.mu_sigma_max > 0.0
 
     # --- iteration body ---------------------------------------------------
     def body(_, carry):
-        reg, sigma_c = carry  # [sb, L] each
+        # [sb, L] each; m_* are the merit components of the current iterate
+        # (= last iteration's accepted line-search candidate).
+        reg, sigma_c, m_obj, m_log, m_eqc = carry
         reg_N = up(reg, N)
         reg_T = up(reg, T1)
         xv, yv, thv = x_ref[:], y_ref[:], th_ref[:]
@@ -746,7 +778,21 @@ def ipm_fused_kernel(
         )
 
         # --- merit line search ---------------------------------------------
+        # Box-family consistency is affine in alpha: with
+        # ds = mask*(jdz + c - s) and trial value c + a*jdz (box constraints
+        # are linear in z), c_trial - ts = (1 - a)*(c - s) exactly — one
+        # precomputed scalar replaces 10 trial constraint planes per
+        # candidate.  Obstacle distances are nonlinear and evaluated fully.
+        consist0_box = jnp.zeros_like(x0p)
+        for nm in ("vl", "vu", "wl", "wu",
+                   "xl0", "xl1", "xl2", "xu0", "xu1", "xu2"):
+            f = fams[nm]
+            consist0_box = consist0_box + _reduce_sum(
+                f.mask * jnp.abs(f.c - f.s)
+            )
+
         def merit_at(alpha):
+            """-> (merit, obj, log_term, eq + consist) at the trial point."""
             a_N = up(alpha, N)
             a_T = up(alpha, T1)
             txv = xv + a_T * ddx
@@ -755,19 +801,13 @@ def ipm_fused_kernel(
             tvv = vv + a_N * ddv
             twv = wv + a_N * ddw
             obj, eq, _ = merit_terms(txv, tyv, tthv, tvv, twv)
-            tcv, tcxl, tcxu, tobs = families(
-                txv, tyv, tthv, tvv, twv, values_only=True
-            )
-            tfams_c = {
-                "vl": tcv[0], "vu": tcv[1], "wl": tcv[2], "wu": tcv[3],
-                "xl0": tcxl[0], "xl1": tcxl[1], "xl2": tcxl[2],
-                "xu0": tcxu[0], "xu1": tcxu[1], "xu2": tcxu[2],
-            }
             if K > 0:
-                for k in range(K):
-                    tfams_c[f"ob{k}"] = tobs[k][0]
+                _, _, _, tobs = families(
+                    txv, tyv, tthv, tvv, twv,
+                    values_only=True, obstacles_only=True,
+                )
             log_term = jnp.zeros_like(x0p)
-            consist = jnp.zeros_like(x0p)
+            consist = (1.0 - alpha) * consist0_box
             for nm, f in fams.items():
                 ds = deltas[nm]
                 a_f = a_N if ds.shape[0] == N * S else a_T
@@ -775,12 +815,14 @@ def ipm_fused_kernel(
                 log_term = log_term + _reduce_sum(
                     f.mask * jnp.log(jnp.maximum(ts, 1e-30))
                 )
-                consist = consist + _reduce_sum(
-                    f.mask * jnp.abs(tfams_c[nm] - ts)
-                )
-            return obj - mu * log_term + rho * (eq + consist)
+                if nm.startswith("ob"):
+                    consist = consist + _reduce_sum(
+                        f.mask * jnp.abs(tobs[int(nm[2:])][0] - ts)
+                    )
+            eqc = eq + consist
+            return obj - mu * log_term + rho * eqc, obj, log_term, eqc
 
-        merit0 = merit_at(jnp.zeros_like(x0p))
+        merit0 = m_obj - mu * m_log + rho * m_eqc
         step_inf = jnp.zeros_like(x0p)
         for dzz in (ddx, ddy, ddth, ddv, ddw):
             step_inf = jnp.maximum(step_inf, _reduce_max(jnp.abs(dzz)))
@@ -794,24 +836,38 @@ def ipm_fused_kernel(
 
         def ls(j, carry):
             # all-f32 carry: Mosaic mishandles i1 vectors in loop carries;
-            # candidate alpha via multiplicative carry (no powf in Mosaic)
-            alpha_best, found, n_rej, aj = carry
-            m = merit_at(aj)
+            # candidate alpha via multiplicative carry (no powf in Mosaic).
+            # s_* stash the merit components of the candidate that will be
+            # *executed*: the first accepted one, else the last (deepest)
+            # candidate — which equals the alpha_min fallback by
+            # construction.  They become the next iteration's merit0.
+            (alpha_best, found, n_rej, aj, s_obj, s_log, s_eqc) = carry
+            m, c_obj, c_log, c_eqc = merit_at(aj)
             ok = (
                 jnp.isfinite(m) & (m <= merit0 + tol)
             ).astype(jnp.float32)
             take = ok * (1.0 - found)
-            alpha_best = take * aj + (1.0 - take) * alpha_best
             found = jnp.maximum(found, ok)
+            is_last = jnp.where(
+                j == sc.ls_iters - 1, jnp.float32(1.0), jnp.float32(0.0)
+            )
+            sel = take + (1.0 - found) * is_last
+            alpha_best = take * aj + (1.0 - take) * alpha_best
+            s_obj = sel * c_obj + (1.0 - sel) * s_obj
+            s_log = sel * c_log + (1.0 - sel) * s_log
+            s_eqc = sel * c_eqc + (1.0 - sel) * s_eqc
             n_rej = n_rej + (1.0 - found)
-            return alpha_best, found, n_rej, aj * jnp.float32(sc.ls_backtrack)
+            return (alpha_best, found, n_rej,
+                    aj * jnp.float32(sc.ls_backtrack), s_obj, s_log, s_eqc)
 
         alpha_min = alpha_s * jnp.float32(
             float(sc.ls_backtrack) ** (sc.ls_iters - 1)
         )
-        alpha_best, found, n_rej, _ = jax.lax.fori_loop(
-            0, sc.ls_iters, ls,
-            (alpha_min, jnp.zeros_like(x0p), jnp.zeros_like(x0p), alpha_s),
+        z = jnp.zeros_like(x0p)
+        alpha_best, found, n_rej, _, m_obj_n, m_log_n, m_eqc_n = (
+            jax.lax.fori_loop(
+                0, sc.ls_iters, ls, (alpha_min, z, z, alpha_s, z, z, z)
+            )
         )
         alpha = alpha_best
         alpha_nu = jnp.minimum(alpha_nu, alpha)
@@ -881,11 +937,13 @@ def ipm_fused_kernel(
             )
         else:
             sigma_new = sigma_c
-        return reg_new, sigma_new
+        return reg_new, sigma_new, m_obj_n, m_log_n, m_eqc_n
 
     reg0 = jnp.full_like(x0p, jnp.float32(sc.reg))
     sigma0 = jnp.full_like(x0p, jnp.float32(sc.mu_sigma))
-    _, sigma_fin = jax.lax.fori_loop(0, sc.iterations, body, (reg0, sigma0))
+    _, sigma_fin, _, _, _ = jax.lax.fori_loop(
+        0, sc.iterations, body, (reg0, sigma0, m_obj0, m_log0, m_eqc0)
+    )
 
     # --- exact KKT diagnostics at the final iterate ----------------------
     # Mirrors solver/ipm.py::_diagnostics: Lagrangian gradient with the

@@ -31,6 +31,15 @@ SCHEDULES = {
     ),
     # D: wider stage-1 net
     "D_wide": dict(stages=((0.25, 64, 0.2), (0.05, 96, 0.7)), sig_max=0.0),
+    # E: adaptive centering + third deep stage (the two best combined)
+    "E_adaptive_3stage": dict(
+        stages=((0.125, 64, 0.2), (0.04, 96, 0.7), (0.02, 128, 0.5)),
+        sig_max=0.7,
+    ),
+    # F: adaptive + wide net
+    "F_adaptive_wide": dict(
+        stages=((0.25, 64, 0.2), (0.05, 96, 0.7)), sig_max=0.7
+    ),
 }
 
 
