@@ -77,11 +77,16 @@ class SolverConfig:
     # Fraction-to-boundary rule coefficient for slack/dual steps.
     tau: float = 0.995
     # Backtracking line search: alpha in {1, ls_backtrack, ls_backtrack^2, ...}
-    # 4 candidates measured best on TPU at N=50/B=8192: deeper ladders cost
-    # ~10% throughput and *lower* the converged fraction (noise-regime
-    # rejections land on needlessly small alphas); fewer lose the rejection
-    # margin hard warm starts need.
-    ls_iters: int = 4
+    # 2 candidates measured best (r3, both backends, same-process A/B at
+    # N=50/B=8192): K=8 converged 0.93 (ls=2) vs 0.73 (ls=4) at +18%
+    # throughput; jnp path mirrors it (0.926 vs 0.705 at B=512).  Mechanism:
+    # when the merit rejects every candidate, the executed fallback is the
+    # deepest candidate alpha_s * bt^(ls-1) — a deep ladder turns every
+    # deadlocked iteration into an 8x-smaller crawl step plus spurious
+    # deep-backtrack regularization growth, while ls=2 keeps real progress
+    # (the r1 "rejection margin" rationale for 4 was intuition; this is
+    # measured).  Free config: 202k/0.969 (ls=2) vs 200k/0.966 (ls=4), r1.
+    ls_iters: int = 2
     ls_backtrack: float = 0.5
     # l1 merit penalty weight for equality (dynamics + slack consistency)
     # residuals.
@@ -127,6 +132,16 @@ class SolverConfig:
     # opt-in because the Problem API allows arbitrary curved tracks, which
     # this would silently linearize through their first segment.
     fused_affine_tracks: bool = False
+    # Low-liveness obstacle mode for the fused kernel: carry only the K
+    # constraint-value planes across an iteration and recompute the 2K
+    # normal planes at each use site (condensation, slack/dual steps,
+    # diagnostics) from c + r + infl — the same reconstruction the r2b
+    # liveness cuts use for the safe distance.  Costs ~7% extra FLOPs at
+    # K=8; exists because the Mosaic compile of the K=8 body fails at
+    # bt>=256 with all 3K planes live (scripts/mosaic_repro.py: K=6
+    # compiles, K=8 does not, at identical VMEM-byte footprints — the
+    # blocker tracks live value volume, not memory).
+    fused_low_liveness: bool = False
     # Sublane sub-blocks per fused-kernel program (scenarios per program =
     # fused_block; lanes = fused_block / fused_sublanes).  >1 packs the
     # sequential Riccati sweep's per-time rows into (sb, 128) values so each

@@ -279,7 +279,7 @@ def ipm_fused_kernel(
                 dyk = yv[S:] - ty_k
                 dist = jnp.sqrt(dxk * dxk + dyk * dyk + 1e-16)
                 c_k = dist - rad_N[k] - infl_N
-                if values_only:
+                if values_only or sc.fused_low_liveness:
                     obs.append((c_k, None, None))
                 else:
                     ds_safe = jnp.maximum(dist, 1e-2)
@@ -287,6 +287,19 @@ def ipm_fused_kernel(
         else:
             obs = []
         return (c_vl, c_vu, c_wl, c_wu), c_xl, c_xu, obs
+
+    def ob_normals(k, c_k, xv, yv):
+        """Recompute obstacle k's unit normal from its constraint value.
+
+        Low-liveness mode: dist is reconstructed as c + r + infl (exact up
+        to f32 rounding — the same identity the r2b liveness cuts use for
+        the safe distance), so only the K value planes stay live across an
+        iteration instead of 3K planes.  The floor matches families()'s
+        ds_safe.
+        """
+        tx_k, ty_k = track_planes(k)
+        ds = jnp.maximum(c_k + rad_N[k] + infl_N, 1e-2)
+        return (xv[S:] - tx_k) / ds, (yv[S:] - ty_k) / ds
 
     # --- init slacks / duals --------------------------------------------
     mu0 = jnp.float32(sc.mu_init)
@@ -483,6 +496,8 @@ def ipm_fused_kernel(
                 fk = fams[f"ob{k}"]
                 g_o, sig_o = _grad_coef(fk, mu_N)
                 c_k, nxk, nyk = obsv[k]
+                if sc.fused_low_liveness:
+                    nxk, nyk = ob_normals(k, c_k, xv, yv)
                 addx = addx - nxk * g_o
                 addy = addy - nyk * g_o
                 h00 = sig_o * nxk * nxk
@@ -753,7 +768,9 @@ def ipm_fused_kernel(
         }
         if K > 0:
             for k in range(K):
-                _, nxk, nyk = obsv[k]
+                c_k, nxk, nyk = obsv[k]
+                if sc.fused_low_liveness:
+                    nxk, nyk = ob_normals(k, c_k, xv, yv)
                 jdz_map[f"ob{k}"] = nxk * ddx[S:] + nyk * ddy[S:]
                 mu_map[f"ob{k}"] = mu_N
         deltas = {nm: step_ds(fams[nm], jdz_map[nm]) for nm in fams}
@@ -979,7 +996,9 @@ def ipm_fused_kernel(
         addx = jnp.zeros_like(vv)
         addy = jnp.zeros_like(vv)
         for k in range(K):
-            _, nxk, nyk = obsv[k]
+            c_k, nxk, nyk = obsv[k]
+            if sc.fused_low_liveness:
+                nxk, nyk = ob_normals(k, c_k, xv, yv)
             nu_k = fams[f"ob{k}"].nu
             addx = addx - nxk * nu_k
             addy = addy - nyk * nu_k

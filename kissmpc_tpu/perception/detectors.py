@@ -167,3 +167,67 @@ class TorchSegmentationAdapter:
             out_scores[slot] = float(scores[i])
             slot += 1
         return Detection(masks=masks, valid=valid, scores=out_scores)
+
+
+def mask_bounding_box(mask: np.ndarray):
+    """(r0, c0, r1, c1) inclusive-exclusive bbox of a boolean mask, or None."""
+    rows = np.any(mask, axis=1)
+    cols = np.any(mask, axis=0)
+    if not rows.any():
+        return None
+    r0, r1 = np.nonzero(rows)[0][[0, -1]]
+    c0, c1 = np.nonzero(cols)[0][[0, -1]]
+    return int(r0), int(c0), int(r1) + 1, int(c1) + 1
+
+
+def render_annotated(
+    image: np.ndarray,
+    detection: Detection,
+    *,
+    alpha: float = 0.35,
+    box_intensity: float = 1.0,
+):
+    """Annotated + segmentation images for a frame (pure numpy).
+
+    The reference's detection node publishes an annotated image (YOLO's
+    `result.plot()`) and a binary segmentation image next to the raw frame
+    (`obstacle_handling/detection.py:43-68`); this is the dependency-free
+    equivalent for any `Detection`: instance masks are alpha-blended with a
+    per-instance shade and bounding boxes drawn at full intensity.
+
+    ``image``: [H, W] grayscale or [H, W, C]; float in [0, 1] or uint8.
+    Returns ``(annotated, segmentation)`` with ``annotated`` matching the
+    input dtype/shape and ``segmentation`` a [H, W] uint8 instance-id map
+    (0 = background, i+1 = instance i — the padded-slot ids are skipped).
+    """
+    img = np.asarray(image)
+    was_uint8 = img.dtype == np.uint8
+    out = img.astype(np.float64) / (255.0 if was_uint8 else 1.0)
+    if out.ndim == 2:
+        out = out[..., None]
+    H, W = out.shape[:2]
+    seg = np.zeros((H, W), np.uint8)
+    n_valid = int(np.sum(detection.valid))
+    for i in range(detection.masks.shape[0]):
+        if not detection.valid[i]:
+            continue
+        mask = detection.masks[i].astype(bool)
+        if mask.shape != (H, W):
+            raise ValueError(f"mask {mask.shape} vs image {(H, W)}")
+        seg[mask] = i + 1
+        shade = 0.35 + 0.6 * (i + 1) / max(1, n_valid)
+        out[mask] = (1 - alpha) * out[mask] + alpha * shade
+        bbox = mask_bounding_box(mask)
+        if bbox is not None:
+            r0, c0, r1, c1 = bbox
+            out[r0, c0:c1] = box_intensity
+            out[r1 - 1, c0:c1] = box_intensity
+            out[r0:r1, c0] = box_intensity
+            out[r0:r1, c1 - 1] = box_intensity
+    if np.asarray(image).ndim == 2:
+        out = out[..., 0]
+    if was_uint8:
+        out = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+    else:
+        out = out.astype(img.dtype)
+    return out, seg

@@ -185,6 +185,64 @@ def obstacle_problems(
     )
 
 
+def route_waypoints(
+    starts: np.ndarray,  # [B, 3]
+    waypoints: np.ndarray,  # [B, W, 3]
+    centers: np.ndarray,  # [B, K, 2]
+    radii: np.ndarray,  # [B, K]
+    static_mask: np.ndarray,  # [B, K] bool — only static circles are routed
+    inflation: float,
+    margin: float = 0.25,
+):
+    """Insert one detour point per leg around the worst blocking circle.
+
+    Coarse stand-in for the reference's global planner: its waypoints are a
+    decimated Nav2 `/plan` (`ros2interface.py:155-170`), i.e. a path that
+    already routes around *static* obstacles — straight start->goal legs
+    through an obstacle field are a harder problem than the reference ever
+    hands its MPC.  For each leg p->q, find the static circle whose
+    inflated disk the segment cuts deepest; the detour is the foot of the
+    perpendicular pushed out to (radius + inflation + margin) on the far
+    side.  Unblocked legs get their midpoint (keeps the output shape
+    static: [B, 2W, 3], detour-before-hop interleave).
+    """
+    B, W, _ = waypoints.shape
+    out = np.zeros((B, 2 * W, 3), waypoints.dtype)
+    prev = starts[:, :2]
+    need = radii + inflation  # [B, K]
+    for w in range(W):
+        q = waypoints[:, w, :2]
+        d = q - prev  # [B, 2]
+        L2 = np.maximum(np.sum(d * d, axis=1, keepdims=True), 1e-9)
+        t = np.clip(
+            np.einsum("bkd,bd->bk", centers - prev[:, None, :], d) / L2,
+            0.0, 1.0,
+        )  # [B, K]
+        foot = prev[:, None, :] + t[..., None] * d[:, None, :]  # [B, K, 2]
+        away = foot - centers  # [B, K, 2]
+        dist = np.linalg.norm(away, axis=-1)  # [B, K]
+        depth = np.where(static_mask, need - dist, -np.inf)
+        k = np.argmax(depth, axis=1)  # worst blocker per episode
+        bi = np.arange(B)
+        blocked = depth[bi, k] > 0.0
+        a = away[bi, k]
+        an = np.linalg.norm(a, axis=1, keepdims=True)
+        # Dead-center fallback: go perpendicular-left of the leg.
+        left = np.stack([-d[:, 1], d[:, 0]], axis=1) / np.sqrt(L2)
+        a_hat = np.where(an > 1e-6, a / np.maximum(an, 1e-9), left)
+        detour = centers[bi, k] + a_hat * (
+            (need[bi, k] + margin)[:, None]
+        )
+        mid = 0.5 * (prev + q)
+        pt = np.where(blocked[:, None], detour, mid)
+        heading = np.arctan2(q[:, 1] - pt[:, 1], q[:, 0] - pt[:, 0])
+        out[:, 2 * w, :2] = pt
+        out[:, 2 * w, 2] = heading
+        out[:, 2 * w + 1] = waypoints[:, w]
+        prev = q
+    return out
+
+
 def episode_worlds(
     cfg,
     batch: int,
@@ -193,6 +251,7 @@ def episode_worlds(
     seed: int = 0,
     n_dynamic: int = 2,
     inflation: float = DEFAULT_INFLATION,
+    route_around_obstacles: bool = False,
     dtype=None,
 ):
     """Batched receding-horizon episode worlds for the fleet-episode bench
@@ -252,6 +311,10 @@ def episode_worlds(
             angular_velocity=jnp.zeros((batch, K), dtype),
             active=jnp.ones((batch, K), dtype),
         )
+        if route_around_obstacles:
+            waypoints = route_waypoints(
+                starts, waypoints, centers, radii, v == 0.0, inflation
+            )
     else:
         from .obstacles import empty
 

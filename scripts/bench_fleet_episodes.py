@@ -43,6 +43,11 @@ def main():
     ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     policy = sys.argv[3] if len(sys.argv) > 3 else "repair"
     schedule = sys.argv[4] if len(sys.argv) > 4 else "refine"
+    # "route" (default) threads waypoints around static obstacles — the
+    # global-planner stand-in (the reference's waypoints are Nav2 output);
+    # "direct" keeps the raw random hops (harder than the reference's
+    # operating envelope: straight legs through the field).
+    routing = sys.argv[5] if len(sys.argv) > 5 else "route"
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/kissmpc_jax_cache")
@@ -87,7 +92,8 @@ def main():
 
     t0 = time.time()
     env, obstacles = episode_worlds(
-        cfg, batch, n_waypoints=3, seed=0, n_dynamic=2
+        cfg, batch, n_waypoints=3, seed=0, n_dynamic=2,
+        route_around_obstacles=(routing == "route"),
     )
     jax.block_until_ready(env)
     print(f"worlds built in {time.time() - t0:.1f}s", flush=True)
@@ -255,6 +261,7 @@ def main():
         "ticks": ticks,
         "warm_start_policy": policy,
         "schedule": schedule,
+        "routing": routing,
         "episode_ticks_per_s": round(ticks / wall, 2),
         "solves_per_s": round(batch * ticks / wall, 1),
         "latency_pipelined_p50_ms": round(

@@ -296,3 +296,39 @@ def test_fused_diagnostics_match_jnp_on_same_iterate():
             np.asarray(getattr(fd, name)), np.asarray(getattr(rd, name)),
             rtol=2e-5, atol=1e-6, err_msg=name,
         )
+
+
+def test_fused_low_liveness_matches_carried_normals():
+    # fused_low_liveness recomputes obstacle normals from c + r + infl at
+    # each use instead of carrying 3K planes across the iteration (the
+    # Mosaic K=8/bt>=256 compile unlock).  The reconstruction is exact up
+    # to f32 rounding, so solutions must match to well under the parity
+    # budget and convergence flags must agree.
+    import dataclasses
+
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
+    obs = static_set(
+        [[0.6, 0.05], [1.8, 1.5]], [0.2, 0.25], max_obstacles=2,
+        dtype=jnp.float32,
+    )
+    ps = []
+    for s, g in [((0.0, 0.0, 0.0), (1.2, 0.1, 0.0)),
+                 ((0.0, -0.4, 0.5), (1.5, 0.9, 0.0))]:
+        ps.append(
+            problem_with_obstacles(
+                cfg, jnp.asarray(s, jnp.float32), jnp.asarray(g, jnp.float32),
+                obs, inflation_radius=0.25, dtype=jnp.float32,
+            )
+        )
+    problems = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    base = solve_batch_fused(cfg, problems, interpret=True, bt=8)
+    cfg_ll = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, fused_low_liveness=True)
+    )
+    ll = solve_batch_fused(cfg_ll, problems, interpret=True, bt=8)
+    err = np.max(np.abs(np.asarray(ll.controls) - np.asarray(base.controls)))
+    assert err <= 1e-4, f"low-liveness vs carried normals diff {err:.2e}"
+    np.testing.assert_array_equal(
+        np.asarray(ll.diagnostics.converged),
+        np.asarray(base.diagnostics.converged),
+    )

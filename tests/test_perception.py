@@ -358,3 +358,34 @@ def test_real_torch_segnet_to_solver_episode():
     d = np.linalg.norm(xy - pos[0], axis=1)
     r = float(np.asarray(obstacles.radius).ravel()[0])
     assert d.min() >= r + 0.4 - 1e-6
+
+
+def test_render_annotated_images():
+    # Reference parity: the detection node publishes annotated +
+    # segmentation images (`obstacle_handling/detection.py:43-68`).
+    import numpy as np
+
+    from kissmpc_tpu.perception.detectors import (
+        Detection, ThresholdBlobDetector, render_annotated,
+    )
+
+    img = np.zeros((24, 32), np.float32)
+    img[4:10, 5:12] = 1.0
+    img[15:20, 20:28] = 0.9
+    det = ThresholdBlobDetector(max_instances=4)(img)
+    assert int(det.valid.sum()) == 2
+    annotated, seg = render_annotated(img, det)
+    assert annotated.shape == img.shape and annotated.dtype == img.dtype
+    assert seg.shape == img.shape and seg.dtype == np.uint8
+    # Instance ids present exactly for the valid instances.
+    assert set(np.unique(seg)) == {0, 1, 2}
+    # Boxes drawn at full intensity along the blob border rows.
+    assert float(annotated[4, 5:12].min()) == 1.0
+    # Background untouched.
+    assert float(annotated[0, 0]) == 0.0
+
+    # uint8 path roundtrips dtype.
+    img8 = (img * 255).astype(np.uint8)
+    annotated8, seg8 = render_annotated(img8, det)
+    assert annotated8.dtype == np.uint8
+    np.testing.assert_array_equal(seg8, seg)

@@ -128,3 +128,45 @@ def test_refine_stages_chain():
     )
     assert same[c0].all()
     assert (c_s | ~c0).all()
+
+
+def test_route_waypoints_detours_blocked_legs():
+    import numpy as np
+
+    from kissmpc_tpu.scenarios import route_waypoints
+
+    starts = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]], np.float32)
+    waypoints = np.tile(
+        np.array([[[2.0, 0.0, 0.0]]], np.float32), (2, 1, 1)
+    )  # one leg straight +x
+    # Episode 0: circle dead on the leg; episode 1: circle far away.
+    centers = np.array([[[1.0, 0.05]], [[1.0, 5.0]]], np.float32)
+    radii = np.full((2, 1), 0.3, np.float32)
+    mask = np.ones((2, 1), bool)
+    out = route_waypoints(starts, waypoints, centers, radii, mask, 0.4)
+    assert out.shape == (2, 2, 3)
+    # Blocked leg: detour clears the inflated disk with margin.
+    d0 = np.linalg.norm(out[0, 0, :2] - centers[0, 0])
+    assert d0 >= 0.3 + 0.4 + 0.25 - 1e-5
+    # Detour keeps to the side the center leans away from (y > 0 center
+    # leans +y at the foot... away = foot - center points -y):
+    assert out[0, 0, 1] < 0.0
+    # Unblocked leg: midpoint.
+    np.testing.assert_allclose(out[1, 0, :2], [1.0, 0.0], atol=1e-6)
+    # Hops preserved in the interleave.
+    np.testing.assert_allclose(out[:, 1], waypoints[:, 0], atol=0)
+
+
+def test_episode_worlds_route_flag():
+    import jax.numpy as jnp
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu.scenarios import episode_worlds
+
+    cfg = MPCConfig(horizon=10, time_step=0.1, max_obstacles=4)
+    env, obs = episode_worlds(
+        cfg, 8, n_waypoints=2, seed=1, n_dynamic=1,
+        route_around_obstacles=True,
+    )
+    assert env.waypoints.shape == (8, 4, 3)  # detour-before-hop interleave
+    assert bool(jnp.all(jnp.isfinite(env.waypoints)))
