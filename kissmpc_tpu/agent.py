@@ -197,7 +197,10 @@ def apply_solution(
     step* — the robot keeps executing the last good trajectory instead of
     garbage.
     """
-    bad = sol.diagnostics.kkt_feasibility > params.fallback_feasibility
+    # NaN-safe gate: a diverged solve reports NaN feasibility, and
+    # `NaN > thresh` is False — the comparison must be written so NaN
+    # lands on the *fallback* side.
+    bad = ~(sol.diagnostics.kkt_feasibility <= params.fallback_feasibility)
     shifted_states = jnp.concatenate(
         [agent.states_matrix[1:], agent.states_matrix[-1:]], axis=0
     )

@@ -858,11 +858,11 @@ def ipm_fused_kernel(
             # *executed*: the first accepted one, else the last (deepest)
             # candidate — which equals the alpha_min fallback by
             # construction.  They become the next iteration's merit0.
-            (alpha_best, found, n_rej, aj, s_obj, s_log, s_eqc) = carry
+            (alpha_best, found, n_rej, aj,
+             s_obj, s_log, s_eqc, fin_last) = carry
             m, c_obj, c_log, c_eqc = merit_at(aj)
-            ok = (
-                jnp.isfinite(m) & (m <= merit0 + tol)
-            ).astype(jnp.float32)
+            m_fin = jnp.isfinite(m).astype(jnp.float32)
+            ok = m_fin * (m <= merit0 + tol).astype(jnp.float32)
             take = ok * (1.0 - found)
             found = jnp.maximum(found, ok)
             is_last = jnp.where(
@@ -873,20 +873,34 @@ def ipm_fused_kernel(
             s_obj = sel * c_obj + (1.0 - sel) * s_obj
             s_log = sel * c_log + (1.0 - sel) * s_log
             s_eqc = sel * c_eqc + (1.0 - sel) * s_eqc
+            fin_last = is_last * m_fin + (1.0 - is_last) * fin_last
             n_rej = n_rej + (1.0 - found)
             return (alpha_best, found, n_rej,
-                    aj * jnp.float32(sc.ls_backtrack), s_obj, s_log, s_eqc)
+                    aj * jnp.float32(sc.ls_backtrack),
+                    s_obj, s_log, s_eqc, fin_last)
 
         alpha_min = alpha_s * jnp.float32(
             float(sc.ls_backtrack) ** (sc.ls_iters - 1)
         )
         z = jnp.zeros_like(x0p)
-        alpha_best, found, n_rej, _, m_obj_n, m_log_n, m_eqc_n = (
+        alpha_best, found, n_rej, _, m_obj_n, m_log_n, m_eqc_n, fin_last = (
             jax.lax.fori_loop(
-                0, sc.ls_iters, ls, (alpha_min, z, z, alpha_s, z, z, z)
+                0, sc.ls_iters, ls, (alpha_min, z, z, alpha_s, z, z, z, z)
             )
         )
-        alpha = alpha_best
+        # All-rejected fallback executes the deepest candidate (it keeps
+        # progress through merit deadlocks — the ls=2 convergence win lives
+        # here) but ONLY when that trial's merit was finite: executing a
+        # non-finite direction detonates the iterate (NaN states no later
+        # iteration can repair — measured in the closed-loop fleet).  A
+        # frozen lane (alpha=0) also freezes its carried merit components:
+        # sel picked the last candidate's (non-finite) components, so zero
+        # them back to the previous iterate's via fin_last masking below.
+        alpha = alpha_best * (found + (1.0 - found) * fin_last)
+        keep = jnp.maximum(found, fin_last)
+        m_obj_n = keep * m_obj_n + (1.0 - keep) * m_obj
+        m_log_n = keep * m_log_n + (1.0 - keep) * m_log
+        m_eqc_n = keep * m_eqc_n + (1.0 - keep) * m_eqc
         alpha_nu = jnp.minimum(alpha_nu, alpha)
         alpha_N, alpha_T = up(alpha, N), up(alpha, T1)
         alpha_nu_N, alpha_nu_T = up(alpha_nu, N), up(alpha_nu, T1)

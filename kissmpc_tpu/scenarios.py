@@ -240,6 +240,26 @@ def route_waypoints(
         out[:, 2 * w, 2] = heading
         out[:, 2 * w + 1] = waypoints[:, w]
         prev = q
+    # The inserted points (and detours themselves) can land inside *other*
+    # circles — a planner would never emit such a point.  Project every
+    # routed waypoint out of every static disk (waypoint-side, so obstacle
+    # positions — and the dynamic-sweep feasibility guard applied to them —
+    # stay untouched).
+    for _ in range(6):
+        for w in range(2 * W):
+            p = out[:, w, :2]
+            d = p[:, None, :] - centers  # [B, K, 2]
+            dist = np.maximum(np.linalg.norm(d, axis=-1), 1e-6)
+            depth = np.where(
+                static_mask, need + margin * 0.5 - dist, -np.inf
+            )
+            push = np.maximum(depth, 0.0)  # [B, K]
+            # Sum over ALL violating circles: a point inside an
+            # intersection of overlapping disks cycles forever under
+            # worst-only pushes, but moves along the combined gradient here.
+            out[:, w, :2] = p + np.sum(
+                d / dist[..., None] * push[..., None], axis=1
+            )
     return out
 
 

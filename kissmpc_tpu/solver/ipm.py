@@ -519,7 +519,17 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
     ok = jnp.isfinite(merits) & (merits <= merit0 + tol)
     idx = jnp.argmax(ok)  # first True in decreasing-alpha order
     any_ok = jnp.any(ok)
-    alpha = jnp.where(any_ok, alphas[idx], alphas[-1])
+    # All-rejected fallback: execute the deepest candidate — it keeps real
+    # progress through merit deadlocks (measured: ls=2 converges 0.93 vs
+    # 0.73 for ls=4 at K=8 precisely because this fallback step is 4x
+    # larger) — but ONLY if its merit is finite: a non-finite trial means
+    # the direction overflows and executing it detonates the iterate (NaN
+    # states that no later iteration can repair).  Freeze instead (alpha=0).
+    alpha = jnp.where(
+        any_ok,
+        alphas[idx],
+        jnp.where(jnp.isfinite(merits[-1]), alphas[-1], 0.0),
+    )
 
     # Couple the dual step to the accepted primal step.  IPOPT lets duals
     # advance at their own fraction-to-boundary rate, with the restoration

@@ -95,14 +95,17 @@ def count(N=50, K=8, ls=4, curvature=True):
     sec["rho_stepinf"] = 2 * (3 * T1 + 2 * N) + 8
     trans["rho_stepinf"] = {}
 
-    # --- merit line search: (ls + 1) full merit evaluations ---------------
-    evals = ls + 1
+    # --- merit line search: ls evaluations (merit0 recomposed from carried
+    # components since r3; box trial values + consistency replaced by the
+    # exact (1-alpha)*consist0 closed form — obstacle families only) -------
+    evals = ls
     m = 2 * (3 * T1 + 2 * N)  # trial point
     m += 12 * T1 + 6 * N  # objective terms
     m += 12 * N + 6  # defects + pins + abs
-    m += 4 * N + 6 * T1 + K * 8 * N  # families values_only (boxes + obs)
-    m += 7 * fam_rows  # ts, log acc, consist acc
-    sec["merit_ls"] = m * evals
+    m += K * 8 * N  # obstacle trial values only
+    m += 5 * fam_rows  # ts + log acc (all families)
+    m += 3 * K * N + 4  # obstacle consist + box closed form
+    sec["merit_ls"] = m * evals + 3 * box_rows  # + consist0_box precompute
     trans["merit_ls"] = {
         "log": fam_rows * evals,
         "sqrt": K * N * evals,

@@ -332,3 +332,50 @@ def test_fused_low_liveness_matches_carried_normals():
         np.asarray(ll.diagnostics.converged),
         np.asarray(base.diagnostics.converged),
     )
+
+
+def test_nonfinite_direction_freezes_not_detonates():
+    # A goal at 1e19 overflows the f32 cost/merit: every line-search
+    # candidate is non-finite.  The all-rejected fallback must then execute
+    # alpha = 0 (freeze) rather than the deepest candidate — executing a
+    # non-finite direction produces NaN states no later iteration can
+    # repair (observed in the closed-loop fleet before the fix).  Both
+    # backends must stay finite and report non-convergence honestly.
+    cfg = MPCConfig(horizon=8, time_step=0.1)
+    p = default_problem(
+        cfg, [0.0, 0.0, 0.0], [1e19, 0.0, 0.0], dtype=jnp.float32
+    )
+    sol = ipm.solve(cfg, p)
+    assert bool(jnp.all(jnp.isfinite(sol.states)))
+    assert not bool(sol.diagnostics.converged)
+    pb = jax.tree.map(lambda x: x[None], p)
+    f = solve_batch_fused(cfg, pb, interpret=True, bt=8)
+    assert bool(jnp.all(jnp.isfinite(f.states)))
+    assert not bool(f.diagnostics.converged[0])
+
+
+def test_fallback_gate_trips_on_nan_feasibility():
+    # agent.apply_solution must route NaN diagnostics to the shifted-plan
+    # fallback (`NaN > thresh` is False — the gate is written NaN-safe).
+    from kissmpc_tpu import agent as agent_mod
+    from kissmpc_tpu.agent import AgentParams
+    from kissmpc_tpu.solver.problem import Diagnostics, Solution
+
+    cfg = MPCConfig(horizon=5, time_step=0.1)
+    params = AgentParams()
+    a = agent_mod.init_agent(cfg, jnp.array([1.0, 2.0, 0.0]))
+    bad_sol = Solution(
+        states=jnp.full((6, 3), jnp.nan),
+        controls=jnp.full((5, 2), jnp.nan),
+        diagnostics=Diagnostics(
+            converged=jnp.asarray(False),
+            kkt_stationarity=jnp.asarray(jnp.nan),
+            kkt_feasibility=jnp.asarray(jnp.nan),
+            kkt_complementarity=jnp.asarray(jnp.nan),
+            final_cost=jnp.asarray(jnp.nan),
+            final_mu=jnp.asarray(jnp.nan),
+        ),
+    )
+    new, _ = agent_mod.apply_solution(params, a, bad_sol)
+    assert bool(jnp.all(jnp.isfinite(new.states_matrix)))
+    assert bool(jnp.all(jnp.isfinite(new.controls_matrix)))
