@@ -30,10 +30,11 @@ BATCH = 8192
 POOL = 16384  # distinct scenarios to draw timed batches from
 CALLS = 50  # timed solver calls, each on a distinct batch composition
 
-# Staged tail refinement (see SolverConfig.refine_stages): measured CPU
-# B=2048 convergence 0.997 (K=0) / 0.991 (K=8) vs 0.967 / 0.710 unrefined.
+# Staged tail refinement (see SolverConfig.refine_stages).  The ls=2
+# ladder (r3) lifts unrefined K=8 convergence 0.71 -> 0.93, so the stage-1
+# net shrank from 0.32 to 0.125 of the batch (SCALING.md r3).
 STAGES_FREE = ((0.05, 64, 0.2),)
-STAGES_OBST = ((0.32, 64, 0.2), (0.04, 96, 0.7), (0.02, 128, 0.5))
+STAGES_OBST = ((0.125, 64, 0.2), (0.04, 96, 0.7), (0.02, 128, 0.5))
 
 
 def _bench_config(jnp, jax, cfg, problems_pool, rng):

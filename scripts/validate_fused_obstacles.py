@@ -154,6 +154,9 @@ def main():
         stable = 5e-3  # polish movement below this = fixed point (f32)
         tail.update(
             {
+                # The VERDICT r2#4 criterion: every disagreement must be
+                # both-converged-with-comparable-cost (else kernel bug).
+                "frac_comparable_cost": float(np.mean(rel_cost < 1e-3)),
                 "frac_opposite_turn": float(np.mean(opposite)),
                 "rel_cost_diff_max": float(rel_cost.max()),
                 "rel_cost_diff_p50": float(np.percentile(rel_cost, 50)),
