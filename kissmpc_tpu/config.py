@@ -150,6 +150,22 @@ class SolverConfig:
     # block (free broadcasting only exists at sb=1).  0 = the measured
     # module default (`ops/pallas/ipm_fused.SB`).
     fused_sublanes: int = 0
+    # Tile-level early exit for the fused kernel: a scenario tile stops
+    # iterating once max |Newton direction| over ALL its lanes falls below
+    # this tolerance (0.0 disables).  The on/off gate is *static* (the
+    # predicated loop body costs ~10x Mosaic compile time, so the default
+    # module omits it); the threshold itself is a runtime SMEM scalar —
+    # `solve_batch_fused(early_exit_tol=...)` retunes it without
+    # recompiling.  Conservative (one active lane keeps its tile
+    # running, so per-lane arithmetic is untouched) and honest (the exact
+    # in-kernel KKT diagnostics still certify whatever iterate the loop
+    # ends on).  Pays off when tiles are difficulty-sorted: refine-stage
+    # sub-batches come out of top_k hard-first, so their converged-filler
+    # tiles exit immediately; closed-loop fleets can sort by the previous
+    # tick's convergence.  Fused-path scheduling only — the jnp path always
+    # runs its full budget (iterates at exit are ordinary IPM iterates, so
+    # this is a stopping rule, not an algorithm change).
+    fused_early_exit_tol: float = 0.0
     # Second-chance refinement (batched solves only): after the fixed
     # iteration budget, gather the worst ``refine_fraction`` of the batch by
     # convergence, re-solve them for ``refine_iterations`` more iterations

@@ -108,8 +108,20 @@ def _sigma(f: _Fam):
 def ipm_fused_kernel(
     cfg: MPCConfig,
     sb: int,
+    # scalar inputs (SMEM):
+    it_ref,  # [1] int32: runtime IPM iteration count (dynamic trip count,
+    #          so every refine stage shares this one compiled binary)
+    ee_ref,  # [1] f32: early-exit tolerance — the tile stops iterating
+    #          once max |dz| over ALL its lanes falls below this (0 = off).
+    #          Tile-level, conservative: one active lane keeps the whole
+    #          tile iterating, so per-lane arithmetic is unchanged; exact
+    #          KKT diagnostics still run at whatever iterate the loop ends
+    #          on.  Pays off when tiles are difficulty-sorted (refine-stage
+    #          sub-batches come out of top_k hard-first, so their
+    #          converged-filler tiles exit immediately).
     # inputs ([rows*sb, L]):
-    scal_ref,  # [26*sb, L]: x0(3), goal(3), cb(4), m_cb(4), sb(6), m_xl(3), m_xu(3)
+    scal_ref,  # [27*sb, L]: x0(3), goal(3), cb(4), m_cb(4), sb(6), m_xl(3),
+    #            m_xu(3), mu_sigma(1)
     warm_ref,  # [(3T1+2N)*sb, L]: packed warm x,y,th (N+1 each), v,w (N each)
     tx_ref,  # [K*N*sb, L] obstacle track x (or [sb, L] dummy when K=0)
     ty_ref,
@@ -128,6 +140,8 @@ def ipm_fused_kernel(
     s_c_ref, nu_c_ref,  # [4N*sb, L]  (vl, vu, wl, wu blocks)
     s_x_ref, nu_x_ref,  # [6(N+1)*sb, L]  (xl0..2, xu0..2 blocks)
     s_ob_ref, nu_ob_ref,  # [K*N*sb, L] (or [sb, L] dummy)
+    ms_ref,  # [5*sb, L]: loop-carried reg, sigma, merit obj/log/eqc rows
+    go_ref,  # SMEM [1] f32: tile keep-iterating flag (early exit)
 ):
     N = cfg.horizon
     K = cfg.max_obstacles
@@ -190,6 +204,11 @@ def ipm_fused_kernel(
     xub = [row(17 + i) for i in range(3)]
     m_xl = [row(20 + i) for i in range(3)]
     m_xu = [row(23 + i) for i in range(3)]
+    # Runtime centering parameter (per-scenario row): both the initial
+    # sigma and the adaptive-decay floor — exactly the role SolverConfig
+    # .mu_sigma plays in solver/ipm.py, but as data so refine stages can
+    # change it without recompiling the kernel.
+    sig_row = row(26)
     infl = (
         obinfo_ref[2 * K * S : (2 * K + 1) * S]
         if K > 0
@@ -419,10 +438,23 @@ def ipm_fused_kernel(
     adaptive_sigma = sc.mu_sigma_max > 0.0
 
     # --- iteration body ---------------------------------------------------
-    def body(_, carry):
+    # Two loop structures share one body (`_iteration`), chosen at trace
+    # time by the *static* early-exit gate:
+    #  * default (tol == 0): dynamic-bound fori with genuine value carries
+    #    — the compile-fast shape (Mosaic compiles it in tens of seconds;
+    #    both lax.while_loop and scratch-resident carries were measured
+    #    ~10-20x slower to compile, and while_loop additionally crawls in
+    #    interpret mode);
+    #  * early exit (tol > 0): carries live in ms_ref scratch so the whole
+    #    body sits under pl.when — once the tile's largest Newton direction
+    #    drops below the runtime tolerance, remaining iterations take the
+    #    empty branch (one SMEM scalar test each, negligible next to the
+    #    ~4k vreg ops of a live iteration).
+    early_exit = getattr(sc, "fused_early_exit_tol", 0.0) > 0.0
+
+    def _iteration(reg, sigma_c, m_obj, m_log, m_eqc):
         # [sb, L] each; m_* are the merit components of the current iterate
         # (= last iteration's accepted line-search candidate).
-        reg, sigma_c, m_obj, m_log, m_eqc = carry
         reg_N = up(reg, N)
         reg_T = up(reg, T1)
         xv, yv, thv = x_ref[:], y_ref[:], th_ref[:]
@@ -961,20 +993,64 @@ def ipm_fused_kernel(
         if adaptive_sigma:
             # Adaptive centering (mirrors solver/ipm.py): throttled accepted
             # steps outside the Newton regime slow the barrier schedule.
+            # The cap keeps growth >= the runtime floor when a refine stage
+            # sets sigma above the static mu_sigma_max (else the clamp pair
+            # would oscillate — config.py's mu_sigma_max note).
             sigma_new = jnp.where(
                 (alpha < 0.25) & ~newton_regime,
-                jnp.minimum(sigma_c * 1.5, jnp.float32(sc.mu_sigma_max)),
-                jnp.maximum(sigma_c * 0.9, jnp.float32(sc.mu_sigma)),
+                jnp.minimum(
+                    sigma_c * 1.5,
+                    jnp.maximum(jnp.float32(sc.mu_sigma_max), sig_row),
+                ),
+                jnp.maximum(sigma_c * 0.9, sig_row),
             )
         else:
             sigma_new = sigma_c
-        return reg_new, sigma_new, m_obj_n, m_log_n, m_eqc_n
+        return reg_new, sigma_new, m_obj_n, m_log_n, m_eqc_n, step_inf
 
     reg0 = jnp.full_like(x0p, jnp.float32(sc.reg))
-    sigma0 = jnp.full_like(x0p, jnp.float32(sc.mu_sigma))
-    _, sigma_fin, _, _, _ = jax.lax.fori_loop(
-        0, sc.iterations, body, (reg0, sigma0, m_obj0, m_log0, m_eqc0)
-    )
+    if early_exit:
+        ms_ref[0 * S : 1 * S] = reg0
+        ms_ref[1 * S : 2 * S] = sig_row
+        ms_ref[2 * S : 3 * S] = m_obj0
+        ms_ref[3 * S : 4 * S] = m_log0
+        ms_ref[4 * S : 5 * S] = m_eqc0
+        go_ref[0] = jnp.float32(1.0)
+
+        def body(i, _):
+            @pl.when(go_ref[0] > 0.5)
+            def _live():
+                outs = _iteration(
+                    ms_ref[0 * S : 1 * S], ms_ref[1 * S : 2 * S],
+                    ms_ref[2 * S : 3 * S], ms_ref[3 * S : 4 * S],
+                    ms_ref[4 * S : 5 * S],
+                )
+                for j in range(5):
+                    ms_ref[j * S : (j + 1) * S] = outs[j]
+                # Early-exit signal: the tile's largest Newton direction.
+                # NaN-safe gate (CLAUDE.md): a NaN max compares False
+                # against the tolerance, so poisoned lanes keep the tile
+                # iterating (harmless — their fallback freeze already
+                # holds) rather than silently stopping it.
+                step_tile = jnp.max(outs[5])
+                go_ref[0] = jnp.where(
+                    step_tile <= ee_ref[0],
+                    jnp.float32(0.0), jnp.float32(1.0),
+                )
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(0, it_ref[0], body, jnp.int32(0))
+        sigma_fin = ms_ref[1 * S : 2 * S]
+    else:
+
+        def body(i, carry):
+            return _iteration(*carry)[:5]
+
+        fin = jax.lax.fori_loop(
+            0, it_ref[0], body,
+            (reg0, sig_row, m_obj0, m_log0, m_eqc0),
+        )
+        sigma_fin = fin[1]
 
     # --- exact KKT diagnostics at the final iterate ----------------------
     # Mirrors solver/ipm.py::_diagnostics: Lagrangian gradient with the
@@ -1119,6 +1195,9 @@ def _pad_batch(x, b_padded):
 
 
 def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
+                      iterations: int | None = None,
+                      mu_sigma=None,
+                      early_exit_tol: float | None = None,
                       interpret: bool = False, bt: int | None = None,
                       sb: int | None = None):
     """Solve a batched Problem with the fused IPM kernel.
@@ -1131,6 +1210,22 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
     ``sb`` sublane sub-blocks per program default to
     ``cfg.solver.fused_sublanes`` or the module-level ``SB`` (see the module
     docstring for the layout).
+
+    ``iterations`` / ``mu_sigma`` override ``cfg.solver``'s values as
+    *runtime* kernel inputs (an SMEM trip count and a per-scenario sigma
+    row): every refine-stage schedule shares ONE compiled Mosaic binary
+    per (N, K, bt, sb, flags) instead of one ~800 s cold compile per
+    (iterations, mu_sigma) combination (SCALING.md compile-time budget).
+    ``mu_sigma`` may be a scalar or a per-scenario ``[B]`` array.
+
+    Early exit: when ``cfg.solver.fused_early_exit_tol > 0`` (a *static*
+    gate — the predicated body costs ~10x Mosaic compile time, so the
+    default module omits it), a scenario tile stops iterating once every
+    lane's Newton direction has inf-norm below the tolerance.  The
+    threshold itself is a runtime SMEM scalar (``early_exit_tol`` kwarg
+    overrides without recompiling).  Tile-level and conservative (one
+    active lane keeps its whole tile running); the exact KKT diagnostics
+    still certify the final iterate, so converged flags stay honest.
     """
     if bt is None:
         bt = cfg.solver.fused_block or BT
@@ -1189,9 +1284,16 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
             sm(safe(problems.state_upper)),  # 3
             sm(fin(problems.state_lower)),  # 3
             sm(fin(problems.state_upper)),  # 3
+            sm(jnp.broadcast_to(
+                jnp.asarray(
+                    cfg.solver.mu_sigma if mu_sigma is None else mu_sigma,
+                    f32,
+                ).reshape(-1, 1),
+                (B, 1),
+            )),  # 1: runtime centering sigma
         ],
         axis=0,
-    )  # [26*sb, Bp//sb]
+    )  # [27*sb, Bp//sb]
     warm = jnp.concatenate(
         [
             sm(problems.warm_states[..., 0]),  # T1
@@ -1261,11 +1363,25 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(ipm_fused_kernel, cfg, sb)
+    it_arr = jnp.asarray(
+        [cfg.solver.iterations if iterations is None else iterations],
+        jnp.int32,
+    )
+    ee_arr = jnp.asarray(
+        [
+            getattr(cfg.solver, "fused_early_exit_tol", 0.0)
+            if early_exit_tol is None
+            else early_exit_tol
+        ],
+        f32,
+    )
     out_rows = [T1, T1, T1, N, N, 6]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec(26), spec(3 * T1 + 2 * N), spec(kn_in), spec(kn_in),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  spec(27), spec(3 * T1 + 2 * N), spec(kn_in), spec(kn_in),
                   spec(obinfo.shape[0] // sb)],
         out_specs=[spec(r) for r in out_rows],
         out_shape=[
@@ -1286,9 +1402,11 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
             pltpu.VMEM((6 * T1 * sb, lanes), f32),
             pltpu.VMEM((kn * sb, lanes), f32),
             pltpu.VMEM((kn * sb, lanes), f32),
+            pltpu.VMEM((5 * sb, lanes), f32),
+            pltpu.SMEM((1,), f32),
         ],
         interpret=interpret,
-    )(scal, warm, tx, ty, obinfo)
+    )(it_arr, ee_arr, scal, warm, tx, ty, obinfo)
 
     (x, y, th, v, w, dg) = outs
     states = jnp.stack([bm(x), bm(y), bm(th)], axis=-1)  # [B, T1, 3]

@@ -30,8 +30,16 @@ def make_solver(cfg: MPCConfig):
     return _solve
 
 
-def _dispatch(cfg: MPCConfig, problems: Problem) -> Solution:
-    """Backend dispatch for one batched solve (no refinement, no jit)."""
+def _dispatch(cfg: MPCConfig, problems: Problem, *,
+              iterations: int | None = None,
+              mu_sigma: float | None = None) -> Solution:
+    """Backend dispatch for one batched solve (no refinement, no jit).
+
+    ``iterations`` / ``mu_sigma`` are per-call schedule overrides (refine
+    stages): the fused kernel takes them as *runtime* inputs so all stages
+    share one compiled binary; the jnp path folds them into the config
+    (it retraces cheaply).
+    """
     on_accel = jax.devices()[0].platform != "cpu"
     if cfg.solver.elastic_obstacles and cfg.solver.solve_backend == "fused":
         # Elastic mode exists only in the jnp path; silently falling back
@@ -47,7 +55,22 @@ def _dispatch(cfg: MPCConfig, problems: Problem) -> Solution:
     if use_fused and problems.initial_state.dtype == jnp.float32:
         from ..ops.pallas.ipm_fused import solve_batch_fused
 
-        return solve_batch_fused(cfg, problems)
+        return solve_batch_fused(
+            cfg, problems, iterations=iterations, mu_sigma=mu_sigma
+        )
+    if iterations is not None or mu_sigma is not None:
+        cfg = cfg.replace(
+            solver=dataclasses.replace(
+                cfg.solver,
+                iterations=(
+                    cfg.solver.iterations if iterations is None
+                    else iterations
+                ),
+                mu_sigma=(
+                    cfg.solver.mu_sigma if mu_sigma is None else mu_sigma
+                ),
+            )
+        )
     return jax.vmap(functools.partial(ipm.solve, cfg))(problems)
 
 
@@ -100,16 +123,7 @@ def solve_batch(cfg: MPCConfig, problems: Problem) -> Solution:
         sub = sub._replace(
             warm_states=sol.states[idx], warm_controls=sol.controls[idx]
         )
-        cfg2 = cfg.replace(
-            solver=dataclasses.replace(
-                cfg.solver,
-                iterations=iters,
-                mu_sigma=mu_sigma,
-                refine_fraction=0.0,
-                refine_stages=(),
-            )
-        )
-        sol2 = _dispatch(cfg2, sub)
+        sol2 = _dispatch(cfg, sub, iterations=iters, mu_sigma=mu_sigma)
         take = sol2.diagnostics.converged & ~sol.diagnostics.converged[idx]
 
         def merge(full, new, take=take, idx=idx):
