@@ -190,15 +190,13 @@ class SolverConfig:
     # mu_sigma=0.7 -> 0.991).
     refine_stages: tuple = ()
 
-    def __post_init__(self):
-        # A positive cap below the base sigma makes the adaptive rule
-        # incoherent (growth clamps under the decay floor and sigma
-        # oscillates between mu_sigma and mu_sigma_max).
-        if 0.0 < self.mu_sigma_max < self.mu_sigma:
-            raise ValueError(
-                f"mu_sigma_max ({self.mu_sigma_max}) must be 0 (disabled) "
-                f"or >= mu_sigma ({self.mu_sigma})"
-            )
+    # NOTE on mu_sigma > mu_sigma_max: legal, not validated away.  The
+    # adaptive growth cap is max(mu_sigma_max, mu_sigma) on BOTH backends
+    # (solver/ipm.py and the fused kernel's runtime sigma row), so a base
+    # sigma above the cap simply pins sigma at mu_sigma — no clamp-pair
+    # oscillation.  Refine stages rely on this: a late stage's mu_sigma
+    # (0.7-0.9) may exceed the base config's cap, and solver/api._dispatch
+    # folds it into this dataclass on the jnp path.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1284,13 +1284,23 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
             sm(safe(problems.state_upper)),  # 3
             sm(fin(problems.state_lower)),  # 3
             sm(fin(problems.state_upper)),  # 3
-            sm(jnp.broadcast_to(
-                jnp.asarray(
-                    cfg.solver.mu_sigma if mu_sigma is None else mu_sigma,
-                    f32,
-                ).reshape(-1, 1),
-                (B, 1),
-            )),  # 1: runtime centering sigma
+            # Runtime centering sigma.  Pad lanes get the *static* mu_sigma
+            # (not sm()'s zero padding): a sigma=0 pad lane runs a frozen
+            # barrier schedule that never settles, keeping the final partial
+            # tile iterating for the full budget under early exit (ADVICE
+            # r3); with the configured value pad lanes behave like ordinary
+            # default-schedule scenarios.
+            sm(jnp.concatenate([
+                jnp.broadcast_to(
+                    jnp.asarray(
+                        cfg.solver.mu_sigma if mu_sigma is None
+                        else mu_sigma,
+                        f32,
+                    ).reshape(-1, 1),
+                    (B, 1),
+                ),
+                jnp.full((Bp - B, 1), cfg.solver.mu_sigma, f32),
+            ], axis=0)),  # 1: runtime centering sigma
         ],
         axis=0,
     )  # [27*sb, Bp//sb]

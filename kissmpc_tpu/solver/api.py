@@ -32,13 +32,16 @@ def make_solver(cfg: MPCConfig):
 
 def _dispatch(cfg: MPCConfig, problems: Problem, *,
               iterations: int | None = None,
-              mu_sigma: float | None = None) -> Solution:
+              mu_sigma=None) -> Solution:
     """Backend dispatch for one batched solve (no refinement, no jit).
 
     ``iterations`` / ``mu_sigma`` are per-call schedule overrides (refine
     stages): the fused kernel takes them as *runtime* inputs so all stages
     share one compiled binary; the jnp path folds them into the config
-    (it retraces cheaply).
+    (it retraces cheaply).  ``mu_sigma`` may be a scalar or a per-scenario
+    ``[B]`` array — the array form is fused-path-only (the jnp fold stores
+    it in a *static* config, which would make the config unhashable and the
+    sigma scenario-global; guarded below).
     """
     on_accel = jax.devices()[0].platform != "cpu"
     if cfg.solver.elastic_obstacles and cfg.solver.solve_backend == "fused":
@@ -59,6 +62,12 @@ def _dispatch(cfg: MPCConfig, problems: Problem, *,
             cfg, problems, iterations=iterations, mu_sigma=mu_sigma
         )
     if iterations is not None or mu_sigma is not None:
+        if mu_sigma is not None and getattr(mu_sigma, "ndim", 0):
+            raise ValueError(
+                "per-scenario mu_sigma arrays are supported by the fused "
+                "backend only; the jnp path folds mu_sigma into the static "
+                "config (pass a scalar, or use solve_backend='fused')"
+            )
         cfg = cfg.replace(
             solver=dataclasses.replace(
                 cfg.solver,

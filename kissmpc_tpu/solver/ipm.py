@@ -586,10 +586,18 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
         # schedule outran the central path (fraction-to-boundary or merit is
         # braking) — slow the centering toward the cap; healthy steps decay
         # it back to the configured schedule.
+        # The growth cap is max(mu_sigma_max, mu_sigma) — NOT mu_sigma_max
+        # alone: a refine stage can set mu_sigma above the static cap, and
+        # capping growth below the decay floor would make the clamp pair
+        # oscillate.  Mirrors ops/pallas/ipm_fused.py (runtime sigma row);
+        # here the stage's mu_sigma arrives via the config fold in
+        # solver/api._dispatch, so sc.mu_sigma IS the runtime value.
         sigma=(
             jnp.where(
                 (alpha < 0.25) & ~newton_regime,
-                jnp.minimum(it.sigma * 1.5, sc.mu_sigma_max),
+                jnp.minimum(
+                    it.sigma * 1.5, max(sc.mu_sigma_max, sc.mu_sigma)
+                ),
                 jnp.maximum(it.sigma * 0.9, sc.mu_sigma),
             )
             if sc.mu_sigma_max > 0.0

@@ -149,6 +149,50 @@ def test_fused_adaptive_sigma_matches_jnp():
     assert bool(jnp.all(fused.diagnostics.converged))
 
 
+def test_fused_adaptive_sigma_above_cap_matches_jnp():
+    # A refine stage may set mu_sigma ABOVE mu_sigma_max (late stages run
+    # 0.7-0.9 against a 0.7 cap).  Both backends must then cap adaptive
+    # growth at max(mu_sigma_max, runtime sigma) — the fused kernel via its
+    # sigma row, the jnp path via the config fold — or their centering
+    # schedules diverge in exactly this corner (ADVICE r3, medium).
+    import dataclasses
+
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
+    cfg = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, mu_sigma_max=0.7)
+    )
+    obs = static_set(
+        [[0.6, 0.05], [2.5, 2.5]], [0.2, 0.2], max_obstacles=2,
+        dtype=jnp.float32,
+    )
+    ps = []
+    for s, g in [((0.0, 0.0, 0.0), (1.2, 0.1, 0.0)),
+                 ((0.0, -0.4, 0.5), (1.2, 0.3, 0.0))]:
+        ps.append(
+            problem_with_obstacles(
+                cfg, jnp.asarray(s, jnp.float32), jnp.asarray(g, jnp.float32),
+                obs, inflation_radius=0.25, dtype=jnp.float32,
+            )
+        )
+    problems = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    # jnp path: stage sigma folded into the static config (must construct
+    # despite exceeding the cap).
+    cfg_fold = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, mu_sigma=0.9)
+    )
+    ref = jax.vmap(functools.partial(ipm.solve, cfg_fold))(problems)
+    # fused path: stage sigma as the runtime row.
+    fused = solve_batch_fused(
+        cfg, problems, interpret=True, bt=8, mu_sigma=0.9
+    )
+    err = np.max(np.abs(np.asarray(fused.controls) - np.asarray(ref.controls)))
+    assert err <= 2e-3, f"fused vs jnp max control diff {err:.2e}"
+    np.testing.assert_array_equal(
+        np.asarray(fused.diagnostics.converged),
+        np.asarray(ref.diagnostics.converged),
+    )
+
+
 def test_fused_runtime_stage_params_match_static():
     # iterations / mu_sigma as runtime kernel inputs (the one-binary refine
     # plan) must reproduce the statically-configured solve bit-for-bit:
