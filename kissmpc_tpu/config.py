@@ -150,6 +150,18 @@ class SolverConfig:
     # block (free broadcasting only exists at sb=1).  0 = the measured
     # module default (`ops/pallas/ipm_fused.SB`).
     fused_sublanes: int = 0
+    # Grouped-plane backward Riccati sweep for the fused kernel: the
+    # sweep's 3-vector algebra (P columns, P@a, P@d, B'P, Qux rows, gain
+    # rows, the symmetrized Qux'K update) runs on [3*sb, lanes] planes
+    # instead of per-entry [sb, lanes] rows — each sweep op uses 3 sublanes
+    # instead of 1, cutting the sequential sweep's vreg-op count ~1.6x at
+    # the cost of sublane extracts/concats where plane rows feed 2x2 scalar
+    # algebra.  Identical math (the symmetrization is bit-exactly symmetric
+    # in the outer-product form), different f32 op grouping.  The sweep is
+    # ~56% of issue slots at K=8 (scripts/roofline.py), which sublane
+    # packing (sb=2) cannot reach at K=8 because of the Mosaic bt>=256
+    # compile blocker — this route packs *within* a scenario row instead.
+    fused_grouped_sweep: bool = False
     # Tile-level early exit for the fused kernel: a scenario tile stops
     # iterating once max |Newton direction| over ALL its lanes falls below
     # this tolerance (0.0 disables).  The on/off gate is *static* (the
@@ -166,6 +178,20 @@ class SolverConfig:
     # runs its full budget (iterates at exit are ordinary IPM iterates, so
     # this is a stopping rule, not an algorithm change).
     fused_early_exit_tol: float = 0.0
+    # Sort batched solves by a warm-start difficulty score (max dynamics
+    # defect of the warm plan) before dispatch, un-permuting the solutions
+    # afterwards.  Per-scenario results are identical (a pure gather /
+    # scatter around the solve); the point is tile *composition*: scenario
+    # tiles become difficulty-homogeneous, so with
+    # ``fused_early_exit_tol > 0`` the many all-easy tiles (a closed-loop
+    # fleet's carried plans are near-feasible) stop after a handful of
+    # iterations instead of riding the full budget behind one straggler
+    # lane.  Off by default: without early exit it is a no-op permutation.
+    # Caveat: a refine stage whose capacity (fraction * B) is smaller than
+    # the non-converged count picks its sub-batch by position — under
+    # sorting a *different* subset can be refined, so results are
+    # order-identical only when refine capacity covers all candidates.
+    sort_by_difficulty: bool = False
     # Second-chance refinement (batched solves only): after the fixed
     # iteration budget, gather the worst ``refine_fraction`` of the batch by
     # convergence, re-solve them for ``refine_iterations`` more iterations

@@ -1,0 +1,261 @@
+"""Batched global route planner — the Nav2-plan equivalent for episode worlds.
+
+The reference's waypoints are a decimated Nav2 global plan
+(`ros2interface.py:155-170`): a path that already routes around the static
+map, handed to the MPC as a chain of free-space hops.  Round-3's stand-in
+(one detour point per leg, `scenarios.route_waypoints`) has no reachability
+guarantee and left 18.5% of episodes stuck in local traps the MPC alone
+cannot escape (SCALING.md r3 fleet table).  This module is the real thing,
+TPU-shaped: a **batched occupancy-grid Dijkstra** over each episode's static
+circles, run as whole-array value-iteration sweeps (8-neighbor min-plus
+relaxation — `lax.fori_loop` over [B, G, G] planes, so one jitted call plans
+ALL episodes at once on CPU or TPU), followed by a steepest-descent
+backtrack and an arclength resampling of each leg into a fixed number of
+route points (static [B, W*(P+1), 3] output, like the reference's stride-25
+decimation).
+
+Dynamic obstacles are ignored by construction — Nav2 plans against the
+static map; predicted humans are the MPC's job (`mpc/optimizer.py:198-252`).
+Legs whose endpoints the grid cannot connect (trap geometry: the waypoint
+is enclosed by overlapping inflated disks) fall back to straight-line
+resampling and are reported per leg, so unreachable-by-construction
+episodes are *measurable* instead of folded into "stuck".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+_BIG = 1e9
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "iters", "backtrack_steps")
+)
+def _plan_fields(
+    starts,  # [B, 2] f32
+    waypoints,  # [B, W, 2] f32
+    centers,  # [B, K, 2]
+    need,  # [B, K] blocked radius per circle (static circles; else < 0)
+    *,
+    grid: int = 64,
+    iters: int = 0,  # 0 -> 2 * grid
+    backtrack_steps: int = 0,  # 0 -> 3 * grid
+):
+    """All-legs Dijkstra + backtrack.  Returns (paths, lens, reach, lo, cell):
+
+    paths [B, W, T, 2] physical backtrack points per leg (pinned at the leg
+    target once reached), reach [B, W] bool leg-connectivity, plus the grid
+    frame (lo [B, 2], cell [B]) for diagnostics.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, W, _ = waypoints.shape
+    G = grid
+    T = backtrack_steps or 3 * G
+    n_iter = iters or 2 * G
+
+    # --- per-episode square grid frame -----------------------------------
+    pts = jnp.concatenate([starts[:, None, :], waypoints], axis=1)
+    pad = 0.6 + jnp.max(jnp.where(need > 0, need, 0.0), axis=1)  # [B]
+    lo = jnp.min(pts, axis=1) - pad[:, None]
+    hi = jnp.max(pts, axis=1) + pad[:, None]
+    span = jnp.max(hi - lo, axis=1)  # [B]
+    cell = span / (G - 1)
+    # cell centers
+    ii = jnp.arange(G, dtype=jnp.float32)
+    gx = lo[:, 0, None, None] + ii[None, :, None] * cell[:, None, None]
+    gy = lo[:, 1, None, None] + ii[None, None, :] * cell[:, None, None]
+
+    # --- occupancy + clearance costs from static circles -----------------
+    # Hard-blocked: inside the *true* inflated radius (dist < r + infl) —
+    # exactly the constraint the MPC enforces, no extra margin, so any
+    # corridor the solver could thread stays open at grid resolution (with
+    # a margin the episode fields' overlapping disks seal most legs:
+    # measured 1.6% leg-0 connectivity at margin 0.1).  Preference for
+    # clearance comes from a soft per-cell cost instead (Nav2's inflation
+    # layer): entering a cell within PREF_M of the inflated boundary costs
+    # up to PEN_W extra steps, so paths hug wide gaps when they exist and
+    # squeeze only when they must.
+    PREF_M = 0.3
+    PEN_W = jnp.float32(6.0)
+    dx = gx[:, None] - centers[:, :, 0, None, None]  # [B, K, G, G]
+    dy = gy[:, None] - centers[:, :, 1, None, None]
+    dist_k = jnp.sqrt(dx * dx + dy * dy)  # [B, K, G, G]
+    needk = need[:, :, None, None]
+    blocked = jnp.any((dist_k < needk) & (needk > 0), axis=1)  # [B, G, G]
+    pen = PEN_W * jnp.sum(
+        jnp.where(
+            needk > 0,
+            jnp.clip(1.0 - (dist_k - needk) / PREF_M, 0.0, 1.0),
+            0.0,
+        ),
+        axis=1,
+    )  # [B, G, G]
+
+    sqrt2 = jnp.float32(np.sqrt(2.0))
+
+    def cell_of(p):  # physical [B, 2] -> int cell [B, 2] (clamped)
+        c = jnp.round((p - lo) / cell[:, None]).astype(jnp.int32)
+        return jnp.clip(c, 0, G - 1)
+
+    def center_of(c):  # int cell [B, 2] -> physical [B, 2]
+        return lo + c.astype(jnp.float32) * cell[:, None]
+
+    bidx = jnp.arange(B)
+
+    def gather(d, c):  # d [B, G, G], c [B, 2] -> [B]
+        return d[bidx, c[:, 0], c[:, 1]]
+
+    prev = starts
+    paths = []
+    reach = []
+    for w in range(W):
+        tgt = waypoints[:, w, :]
+        tc = cell_of(tgt)
+        sc_ = cell_of(prev)
+        d0 = jnp.full((B, G, G), _BIG, jnp.float32)
+        d0 = d0.at[bidx, tc[:, 0], tc[:, 1]].set(0.0)
+        # force-unblock source and target cells (the generator clears
+        # waypoints to ~the same margin; rounding must not seal a leg)
+        ublk = blocked.at[bidx, tc[:, 0], tc[:, 1]].set(False)
+        ublk = ublk.at[bidx, sc_[:, 0], sc_[:, 1]].set(False)
+
+        def relax_u(d, ublk=ublk):
+            p = jnp.pad(d, ((0, 0), (1, 1), (1, 1)), constant_values=_BIG)
+            best = jnp.full_like(d, _BIG)
+            for di, dj, c in (
+                (0, 1, 1.0), (0, -1, 1.0), (1, 0, 1.0), (-1, 0, 1.0),
+                (1, 1, sqrt2), (1, -1, sqrt2),
+                (-1, 1, sqrt2), (-1, -1, sqrt2),
+            ):
+                sh = jax.lax.dynamic_slice(
+                    p, (0, 1 + di, 1 + dj), (B, G, G)
+                )
+                best = jnp.minimum(best, sh + c)
+            # entry cost = geometric step + the entered cell's clearance
+            # penalty (d stays a valid one-step Bellman fixed point, so the
+            # argmin-descent backtrack still terminates at the target)
+            return jnp.where(ublk, _BIG, jnp.minimum(d, best + pen))
+
+        d = jax.lax.fori_loop(0, n_iter, lambda _, dd: relax_u(dd), d0)
+        ok = gather(d, sc_) < _BIG / 2  # leg connectivity
+        reach.append(ok)
+
+        # steepest-descent backtrack source -> target over cells
+        dp = jnp.pad(d, ((0, 0), (1, 1), (1, 1)), constant_values=_BIG)
+        offs = jnp.asarray(
+            [(0, 0), (0, 1), (0, -1), (1, 0), (-1, 0),
+             (1, 1), (1, -1), (-1, 1), (-1, -1)],
+            jnp.int32,
+        )  # (0,0) first: at the target the center is the strict min
+
+        def bt_step(c, _):
+            cand = c[:, None, :] + offs[None]  # [B, 9, 2]
+            vals = dp[
+                bidx[:, None], 1 + cand[..., 0], 1 + cand[..., 1]
+            ]  # [B, 9]
+            # prefer staying only at the target (d=0); elsewhere center has
+            # larger d than the best neighbor along a connected path
+            j = jnp.argmin(vals, axis=1)
+            nc = cand[bidx, j]
+            return nc, center_of(nc)
+
+        _, pts_leg = jax.lax.scan(bt_step, sc_, None, length=T)
+        pts_leg = jnp.moveaxis(pts_leg, 0, 1)  # [B, T, 2]
+        # pin unreachable legs to a straight line (resampled host-side)
+        paths.append(pts_leg)
+        prev = tgt
+
+    return (
+        jnp.stack(paths, axis=1),  # [B, W, T, 2]
+        jnp.stack(reach, axis=1),  # [B, W]
+        lo,
+        cell,
+    )
+
+
+def plan_waypoint_chain(
+    starts: np.ndarray,  # [B, 3]
+    waypoints: np.ndarray,  # [B, W, 3]
+    centers: np.ndarray,  # [B, K, 2]
+    radii: np.ndarray,  # [B, K]
+    static_mask: np.ndarray,  # [B, K] bool
+    inflation: float,
+    *,
+    points_per_leg: int = 3,
+    grid: int = 64,
+):
+    """Routed chain [B, W*(P+1), 3] + per-leg reachability [B, W].
+
+    Each leg start->w0->...->w_{W-1} contributes P arclength-resampled
+    route points from the grid-Dijkstra path plus the leg's own endpoint
+    (so the original waypoints survive verbatim, like the reference keeps
+    the Nav2 plan's final pose, `ros2interface.py:167-170`).  Headings
+    point at the next chain point.  Unreachable legs resample the straight
+    segment instead (and are flagged).
+    """
+    import jax
+
+    B, W, _ = waypoints.shape
+    P = points_per_leg
+    need = np.where(static_mask, radii + inflation, -1.0).astype(np.float32)
+    paths, reach, _, _ = _plan_fields(
+        np.ascontiguousarray(starts[:, :2], np.float32),
+        np.ascontiguousarray(waypoints[..., :2], np.float32),
+        np.ascontiguousarray(centers, np.float32),
+        need,
+        grid=grid,
+    )
+    paths = np.asarray(paths)  # [B, W, T, 2]
+    reach = np.asarray(reach)  # [B, W]
+
+    out = np.zeros((B, W * (P + 1), 3), np.float32)
+    prev = starts[:, :2].astype(np.float32)
+    for w in range(W):
+        tgt = waypoints[:, w, :2].astype(np.float32)
+        pw = paths[:, w]  # [B, T, 2]  (source -> ... -> target, then pinned)
+        # straight-line fallback for unreachable legs
+        fr = (np.arange(pw.shape[1], dtype=np.float32) / (pw.shape[1] - 1))
+        straight = prev[:, None, :] + fr[None, :, None] * (
+            (tgt - prev)[:, None, :]
+        )
+        pw = np.where(reach[:, w, None, None], pw, straight)
+        # arclength resample at fractions (i+1)/(P+1)
+        seg = np.linalg.norm(np.diff(pw, axis=1), axis=-1)  # [B, T-1]
+        cum = np.concatenate(
+            [np.zeros((B, 1), np.float32), np.cumsum(seg, axis=1)], axis=1
+        )
+        total = cum[:, -1]  # [B]
+        for i in range(P):
+            f = (i + 1) / (P + 1)
+            target_len = f * total
+            idx = np.minimum(
+                (cum < target_len[:, None]).sum(axis=1), pw.shape[1] - 1
+            )
+            pt = pw[np.arange(B), idx]
+            # degenerate legs (already at target): pin to the target
+            pt = np.where(total[:, None] > 1e-6, pt, tgt)
+            out[:, w * (P + 1) + i, :2] = pt
+        out[:, w * (P + 1) + P, :] = waypoints[:, w]
+        prev = tgt
+
+    # Headings: route points aim at the next chain point; the original
+    # waypoint rows keep their own theta (already written above).  A
+    # degenerate route point (coincident with its successor) inherits its
+    # leg waypoint's theta.
+    for j in range(W * (P + 1)):
+        if j % (P + 1) == P:
+            continue  # waypoint row
+        d = out[:, j + 1, :2] - out[:, j, :2]
+        leg_theta = out[:, (j // (P + 1)) * (P + 1) + P, 2]
+        out[:, j, 2] = np.where(
+            np.linalg.norm(d, axis=1) > 1e-6,
+            np.arctan2(d[:, 1], d[:, 0]),
+            leg_theta,
+        )
+    return out, reach

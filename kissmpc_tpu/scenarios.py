@@ -272,6 +272,9 @@ def episode_worlds(
     n_dynamic: int = 2,
     inflation: float = DEFAULT_INFLATION,
     route_around_obstacles: bool = False,
+    router: str = "detour",
+    points_per_leg: int = 3,
+    planner_grid: int = 64,
     dtype=None,
 ):
     """Batched receding-horizon episode worlds for the fleet-episode bench
@@ -332,9 +335,22 @@ def episode_worlds(
             active=jnp.ones((batch, K), dtype),
         )
         if route_around_obstacles:
-            waypoints = route_waypoints(
-                starts, waypoints, centers, radii, v == 0.0, inflation
-            )
+            if router == "grid":
+                # Real global planner (batched grid Dijkstra over the
+                # static circles — planner.py): P route points per leg +
+                # the original waypoint, reachability-guaranteed wherever
+                # the grid is connected.  The reference's Nav2 plan
+                # equivalent (`ros2interface.py:155-170`).
+                from .planner import plan_waypoint_chain
+
+                waypoints, _reach = plan_waypoint_chain(
+                    starts, waypoints, centers, radii, v == 0.0, inflation,
+                    points_per_leg=points_per_leg, grid=planner_grid,
+                )
+            else:
+                waypoints = route_waypoints(
+                    starts, waypoints, centers, radii, v == 0.0, inflation
+                )
     else:
         from .obstacles import empty
 

@@ -26,7 +26,9 @@ Run (background, generous timeout):
       [policy] [schedule]
 
 ``policy``: "repair" (default) or "full" (repair + gated completion).
-``schedule``: "refine" (default; staged-refinement certification) or "base".
+``schedule``: "refine" (default; staged-refinement certification), "base",
+or "sorted" (refine + sort_by_difficulty + fused_early_exit_tol: the
+difficulty-sorted tile early-exit mode — VERDICT r3 #5's measurement).
 """
 
 import dataclasses
@@ -43,11 +45,12 @@ def main():
     ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     policy = sys.argv[3] if len(sys.argv) > 3 else "repair"
     schedule = sys.argv[4] if len(sys.argv) > 4 else "refine"
-    # "route" (default) threads waypoints around static obstacles — the
-    # global-planner stand-in (the reference's waypoints are Nav2 output);
-    # "direct" keeps the raw random hops (harder than the reference's
-    # operating envelope: straight legs through the field).
-    routing = sys.argv[5] if len(sys.argv) > 5 else "route"
+    # "plan" (default since r4) routes waypoints with the batched
+    # grid-Dijkstra global planner (planner.py — the Nav2-plan equivalent);
+    # "route" keeps the r3 one-detour stand-in; "direct" the raw random
+    # hops (harder than the reference's operating envelope: straight legs
+    # through the field).
+    routing = sys.argv[5] if len(sys.argv) > 5 else "plan"
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/kissmpc_jax_cache")
@@ -70,9 +73,15 @@ def main():
             iterations=32,
             refine_stages=(
                 ((0.125, 64, 0.2), (0.02, 96, 0.7))
-                if schedule == "refine"
+                if schedule in ("refine", "sorted")
                 else ()
             ),
+            # "sorted": difficulty-homogeneous tiles + tile-level early
+            # exit.  In a closed loop most carried plans re-converge in a
+            # fraction of the 32-iteration budget; sorting groups them so
+            # their tiles actually stop (the exit is tile-level).
+            sort_by_difficulty=(schedule == "sorted"),
+            fused_early_exit_tol=(1e-4 if schedule == "sorted" else 0.0),
             # Per-scenario adaptive centering: +1.2pt converged / +0.3pt
             # usable at zero latency cost (scripts/sweep_fleet_schedule.py,
             # schedule C vs A).
@@ -93,10 +102,13 @@ def main():
     t0 = time.time()
     env, obstacles = episode_worlds(
         cfg, batch, n_waypoints=3, seed=0, n_dynamic=2,
-        route_around_obstacles=(routing == "route"),
+        route_around_obstacles=(routing != "direct"),
+        router=("grid" if routing == "plan" else "detour"),
+        planner_grid=96,
     )
     jax.block_until_ready(env)
-    print(f"worlds built in {time.time() - t0:.1f}s", flush=True)
+    print(f"worlds built in {time.time() - t0:.1f}s "
+          f"(W={env.waypoints.shape[1]})", flush=True)
 
     # Generator sanity: fraction of episodes with any waypoint inside a
     # *static* obstacle's inflated disk (such a waypoint is unreachable and
@@ -256,6 +268,43 @@ def main():
     progressing = not_done & ~stuck & (trend > 0.05)
     oscillating = not_done & ~stuck & ~progressing
 
+    # --- cohort geometry (VERDICT r3 #3: what ARE the stuck/chronic
+    # episodes doing?) -----------------------------------------------------
+    wp_all = np.asarray(env.waypoints)  # [B, W', 3]
+    cur_idx = np.clip(
+        np.asarray(env.waypoint_index), 0, wp_all.shape[1] - 1
+    )
+    cur_wp = wp_all[np.arange(batch), cur_idx]  # [B, 3]
+    d_cur_wp = np.linalg.norm(pos_hist[-1] - cur_wp[:, :2], axis=-1)
+    # is the *current* waypoint itself inside a static inflated disk?
+    d_wp_obs = np.linalg.norm(
+        cur_wp[:, None, :2] - oc, axis=-1
+    ) - (orad + params.inflation_radius)
+    wp_blocked_now = ((d_wp_obs < 0.0) & static_m).any(axis=1)
+    end_clr = clr_hist[-1]
+
+    def cohort_stats(mask):
+        if not mask.any():
+            return None
+        return {
+            "n": int(mask.sum()),
+            "dist_to_waypoint_p50": round(
+                float(np.percentile(d_cur_wp[mask], 50)), 3
+            ),
+            "end_clearance_p50": round(
+                float(np.percentile(end_clr[mask], 50)), 3
+            ),
+            "end_clearance_p10": round(
+                float(np.percentile(end_clr[mask], 10)), 3
+            ),
+            "waypoint_blocked_frac": round(
+                float(wp_blocked_now[mask].mean()), 3
+            ),
+            "waypoints_done_p50": round(
+                float(np.percentile(cur_idx[mask], 50)), 1
+            ),
+        }
+
     out = {
         "batch": batch,
         "ticks": ticks,
@@ -285,6 +334,15 @@ def main():
         "goal_reached_curve": [
             round(float(x), 4) for x in done_frac_curve[:: max(1, ticks // 20)]
         ],
+        # soak observables (VERDICT r3 #7): does the usable fraction decay
+        # and the clearance floor erode over long horizons?
+        "usable_curve": [
+            round(float(x), 4) for x in rows[:, 1][:: max(1, ticks // 20)]
+        ],
+        "min_clearance_per_100t": [
+            round(float(clr_hist[i : i + 100].min()), 4)
+            for i in range(0, len(clr_hist), 100)
+        ],
         "collision_rate": round(float(collided.mean()), 6),
         "episodes_ever_unusable": round(float(ever_unusable.mean()), 4),
         "episodes_chronically_unusable": round(float(chronic.mean()), 4),
@@ -298,6 +356,9 @@ def main():
         "endstate_progressing": round(float(progressing.mean()), 4),
         "endstate_stuck": round(float(stuck.mean()), 4),
         "endstate_oscillating": round(float(oscillating.mean()), 4),
+        "stuck_cohort": cohort_stats(stuck),
+        "oscillating_cohort": cohort_stats(oscillating),
+        "chronic_cohort": cohort_stats(chronic),
         # Budget verdicts.  The device one is what locally-attached hardware
         # sees per tick: median 5-tick free-running chunk AND pipelined p50
         # must both fit.  The worst chunk is reported but not gating — it

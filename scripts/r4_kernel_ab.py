@@ -1,0 +1,125 @@
+"""Round-4 same-process kernel A/B: VERDICT-r3 #1 cells + grouped sweep.
+
+One process, one problem pool, every variant timed back-to-back (the only
+measurement the tunnel-variance rule trusts for kernel deltas):
+
+  * K=8 bt=128 sb in {1, 2, 4} -- the untried cells of the sublane matrix
+    (lanes 64/32; sub-128 lanes pad every vector to 128 lanes, so the
+    prediction is a loss -- measured either way, route (a)).
+  * K=8 / free grouped-plane Riccati sweep (`fused_grouped_sweep`) vs
+    scalar -- route (b).
+  * K=8 bt=128 sb=1 low_liveness -- re-A/B at the ls=2 default
+    (VERDICT r3 #6: its +8% was measured against ls=4).
+  * K=8 grouped at bt=256/sb=2 -- does the regrouped (smaller) trace
+    dodge the Mosaic blocker?  Recorded either way.
+
+Run (TPU, background, generous timeout):
+  cd /root/repo && python scripts/r4_kernel_ab.py [quick]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kissmpc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu.ops.pallas.ipm_fused import solve_batch_fused
+    from kissmpc_tpu.scenarios import free_problems, obstacle_problems
+
+    t00 = time.time()
+    print(f"device: {jax.devices()[0]} ({time.time()-t00:.0f}s)", flush=True)
+    B = 8192
+
+    cfgK = MPCConfig(horizon=50, time_step=0.041, max_obstacles=8)
+    cfgK = cfgK.replace(
+        solver=dataclasses.replace(
+            cfgK.solver, iterations=32, fused_affine_tracks=True,
+            mu_sigma_max=0.7,
+        )
+    )
+    probsK = obstacle_problems(cfgK, B, seed=0, n_dynamic=2)
+    jax.block_until_ready(probsK)
+    print(f"K=8 pool built ({time.time()-t00:.0f}s)", flush=True)
+    cfgF = MPCConfig(horizon=50, time_step=0.041)
+    cfgF = cfgF.replace(
+        solver=dataclasses.replace(cfgF.solver, iterations=32)
+    )
+    probsF = free_problems(cfgF, B, seed=0)
+    jax.block_until_ready(probsF)
+    print(f"free pool built ({time.time()-t00:.0f}s)", flush=True)
+
+    def grp(cfg, **kw):
+        return cfg.replace(
+            solver=dataclasses.replace(
+                cfg.solver, fused_grouped_sweep=True, **kw
+            )
+        )
+
+    variants = [
+        ("k8-scalar", cfgK, probsK, dict(bt=128, sb=1)),
+        ("k8-grouped", grp(cfgK), probsK, dict(bt=128, sb=1)),
+        ("free-scalar", cfgF, probsF, dict(bt=256, sb=2)),
+        ("free-grouped", grp(cfgF), probsF, dict(bt=256, sb=2)),
+        ("k8-sb2", cfgK, probsK, dict(bt=128, sb=2)),
+        ("k8-sb4", cfgK, probsK, dict(bt=128, sb=4)),
+        ("k8-lowlive", cfgK.replace(solver=dataclasses.replace(
+            cfgK.solver, fused_low_liveness=True)), probsK,
+         dict(bt=128, sb=1)),
+        ("k8-grouped-bt256", grp(cfgK), probsK, dict(bt=256, sb=2)),
+    ]
+    ref = {}
+    for tag, cfg, probs, kw in variants:
+        print(f"--- {tag} {kw} ({time.time()-t00:.0f}s)", flush=True)
+        try:
+            fn = jax.jit(
+                lambda p, cfg=cfg, kw=kw: solve_batch_fused(cfg, p, **kw)
+            )
+            t0 = time.time()
+            sol = fn(probs)
+            float(jnp.sum(sol.controls))
+            compile_s = time.time() - t0
+            times = []
+            for _ in range(7):
+                t0 = time.perf_counter()
+                sol = fn(probs)
+                float(jnp.sum(sol.controls))
+                times.append(time.perf_counter() - t0)
+            dt = float(np.median(times))
+            conv = float(
+                jnp.mean(sol.diagnostics.converged.astype(jnp.float32))
+            )
+            key = tag.split("-")[0]
+            du = None
+            if key in ref:
+                du = round(float(
+                    np.max(np.abs(np.asarray(sol.controls) - ref[key]))
+                ), 5)
+            else:
+                ref[key] = np.asarray(sol.controls)
+            r = {"config": tag, **kw,
+                 "solves_per_s": round(B / dt, 1),
+                 "latency_ms": round(dt * 1e3, 2),
+                 "lat_min_ms": round(min(times) * 1e3, 2),
+                 "converged": round(conv, 4),
+                 "compile_s": round(compile_s, 1),
+                 "max_du_vs_first": du}
+        except Exception as e:  # noqa: BLE001 — record compile failures
+            r = {"config": tag, **kw,
+                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        print("RESULT " + json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()
