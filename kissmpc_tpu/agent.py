@@ -67,6 +67,10 @@ class AgentParams:
     # fleet loops that trust their warm starts turn it off for ~1.4x tick
     # throughput (measured: scripts/profile_fleet_tick.py).
     complete_warm_starts: bool = True
+    # Waypoint stall-skip (environment policy): a *non-final* waypoint not
+    # reached within this many consecutive ticks is skipped (0 disables —
+    # reference semantics).  See environment._advance_waypoint.
+    stall_skip_ticks: int = 0
 
     @property
     def inflation_radius(self) -> float:

@@ -132,16 +132,16 @@ class SolverConfig:
     # opt-in because the Problem API allows arbitrary curved tracks, which
     # this would silently linearize through their first segment.
     fused_affine_tracks: bool = False
-    # Low-liveness obstacle mode for the fused kernel: carry only the K
-    # constraint-value planes across an iteration and recompute the 2K
-    # normal planes at each use site (condensation, slack/dual steps,
-    # diagnostics) from c + r + infl — the same reconstruction the r2b
-    # liveness cuts use for the safe distance.  Costs ~7% extra FLOPs at
-    # K=8; exists because the Mosaic compile of the K=8 body fails at
-    # bt>=256 with all 3K planes live (scripts/mosaic_repro.py: K=6
-    # compiles, K=8 does not, at identical VMEM-byte footprints — the
-    # blocker tracks live value volume, not memory).
-    fused_low_liveness: bool = False
+    # (r4) `fused_low_liveness` was REMOVED: its +8% was measured against
+    # the ls=4 ladder; at the ls=2 default it *loses* 2.9% same-process
+    # (177.2k vs 182.5k, scripts/r4_kernel_ab.py) and its original purpose
+    # (unlocking bt>=256 at K=8) was falsified in r2.  `fused_grouped_sweep`
+    # (the r2/r3 "pack the sweep's 3-vector algebra into multi-sublane
+    # planes" idea) was built, tested, measured (+0.7% at K=8/sb=1 — noise;
+    # -4.5% at free/sb=2 from the scalar-row tiling copies) and removed:
+    # the issue-slot model overestimated the sequential sweep's cost, and a
+    # third mirror of the algorithm (jnp / scalar kernel / grouped kernel)
+    # is drift surface with no payoff.  Numbers in SCALING.md r4.
     # Sublane sub-blocks per fused-kernel program (scenarios per program =
     # fused_block; lanes = fused_block / fused_sublanes).  >1 packs the
     # sequential Riccati sweep's per-time rows into (sb, 128) values so each
@@ -150,18 +150,6 @@ class SolverConfig:
     # block (free broadcasting only exists at sb=1).  0 = the measured
     # module default (`ops/pallas/ipm_fused.SB`).
     fused_sublanes: int = 0
-    # Grouped-plane backward Riccati sweep for the fused kernel: the
-    # sweep's 3-vector algebra (P columns, P@a, P@d, B'P, Qux rows, gain
-    # rows, the symmetrized Qux'K update) runs on [3*sb, lanes] planes
-    # instead of per-entry [sb, lanes] rows — each sweep op uses 3 sublanes
-    # instead of 1, cutting the sequential sweep's vreg-op count ~1.6x at
-    # the cost of sublane extracts/concats where plane rows feed 2x2 scalar
-    # algebra.  Identical math (the symmetrization is bit-exactly symmetric
-    # in the outer-product form), different f32 op grouping.  The sweep is
-    # ~56% of issue slots at K=8 (scripts/roofline.py), which sublane
-    # packing (sb=2) cannot reach at K=8 because of the Mosaic bt>=256
-    # compile blocker — this route packs *within* a scenario row instead.
-    fused_grouped_sweep: bool = False
     # Tile-level early exit for the fused kernel: a scenario tile stops
     # iterating once max |Newton direction| over ALL its lanes falls below
     # this tolerance (0.0 disables).  The on/off gate is *static* (the

@@ -32,6 +32,9 @@ class EnvState(NamedTuple):
     agent: AgentState
     waypoint_index: jax.Array  # int32 scalar
     waypoints: jax.Array  # [W, 3]
+    # ticks since the waypoint index last advanced (drives the optional
+    # stall-skip policy; see AgentParams.stall_skip_ticks)
+    stall_ticks: jax.Array
 
 
 class StepInfo(NamedTuple):
@@ -55,6 +58,7 @@ def init_env(
         agent=agent,
         waypoint_index=jnp.zeros((), jnp.int32),
         waypoints=waypoints,
+        stall_ticks=jnp.zeros((), jnp.int32),
     )
 
 
@@ -92,24 +96,66 @@ def step(
 def _advance_waypoint(
     params: AgentParams, env: EnvState, new_agent, diag
 ) -> Tuple[EnvState, StepInfo]:
-    """Post-solve waypoint bookkeeping (`mpc/environment.py:77-80`)."""
-    reached = agent_mod.at_goal(params, new_agent)
-    is_last = env.waypoint_index >= env.waypoints.shape[0] - 1
-    advance = reached & ~is_last
-    new_index = env.waypoint_index + advance.astype(jnp.int32)
+    """Post-solve waypoint bookkeeping (`mpc/environment.py:77-80`).
+
+    Two policies beyond the reference's advance-one-on-reach (both matter
+    once waypoints are a dense planned chain rather than sparse hops — the
+    reference's Nav2 plan is consumed the same way a pure-pursuit follower
+    does, not gate-by-gate):
+
+    * **skip-ahead**: reaching ANY not-yet-visited waypoint advances the
+      index past the furthest one reached — a robot that cuts a corner of
+      its route chain must not be dragged back to an intermediate point
+      behind it (measured r4: episodes parked at an inflated boundary
+      re-attracted to a bypassed route point read "stuck").
+    * **stall-skip** (``params.stall_skip_ticks > 0``): a *non-final*
+      waypoint the agent has failed to reach for that many consecutive
+      ticks is skipped — the closed-loop analogue of a global replan when
+      the local optimizer sits in a pressed-at-boundary minimum.  The
+      final waypoint is never skipped, so `final_goal_reached` semantics
+      are untouched.
+    """
+    W = env.waypoints.shape[0]
+    pos = agent_mod.position(new_agent)
+    d = (
+        jnp.linalg.norm(env.waypoints[:, :2] - pos[None], axis=1)
+        - params.radius
+    )  # surface distance, as agent.at_goal
+    idx_row = jnp.arange(W, dtype=jnp.int32)
+    hit = (d <= params.goal_radius) & (idx_row >= env.waypoint_index)
+    furthest = jnp.max(jnp.where(hit, idx_row, -1))
+    reached = furthest >= 0  # reached the current or any later waypoint
+    new_index = jnp.where(
+        reached,
+        jnp.minimum(furthest + 1, W - 1),
+        env.waypoint_index,
+    )
+    # final goal: the last waypoint itself was reached (not merely targeted)
+    final_reached = hit[W - 1]
+    # stall-skip (never past the final waypoint)
+    stall_limit = getattr(params, "stall_skip_ticks", 0)
+    advanced = new_index > env.waypoint_index
+    stall = jnp.where(advanced, 0, env.stall_ticks + 1)
+    if stall_limit:
+        skip = (
+            (stall >= stall_limit)
+            & (new_index < W - 1)
+            & ~final_reached
+        )
+        new_index = new_index + skip.astype(jnp.int32)
+        stall = jnp.where(skip, 0, stall)
     new_env = EnvState(
         agent=new_agent._replace(
-            goal_state=env.waypoints[
-                jnp.clip(new_index, 0, env.waypoints.shape[0] - 1)
-            ]
+            goal_state=env.waypoints[jnp.clip(new_index, 0, W - 1)]
         ),
         waypoint_index=new_index,
         waypoints=env.waypoints,
+        stall_ticks=stall,
     )
     info = StepInfo(
         diagnostics=diag,
         at_goal=reached,
-        final_goal_reached=reached & is_last,
+        final_goal_reached=final_reached,
         waypoint_index=new_index,
     )
     return new_env, info

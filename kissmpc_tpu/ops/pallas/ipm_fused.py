@@ -298,7 +298,7 @@ def ipm_fused_kernel(
                 dyk = yv[S:] - ty_k
                 dist = jnp.sqrt(dxk * dxk + dyk * dyk + 1e-16)
                 c_k = dist - rad_N[k] - infl_N
-                if values_only or sc.fused_low_liveness:
+                if values_only:
                     obs.append((c_k, None, None))
                 else:
                     ds_safe = jnp.maximum(dist, 1e-2)
@@ -306,19 +306,6 @@ def ipm_fused_kernel(
         else:
             obs = []
         return (c_vl, c_vu, c_wl, c_wu), c_xl, c_xu, obs
-
-    def ob_normals(k, c_k, xv, yv):
-        """Recompute obstacle k's unit normal from its constraint value.
-
-        Low-liveness mode: dist is reconstructed as c + r + infl (exact up
-        to f32 rounding — the same identity the r2b liveness cuts use for
-        the safe distance), so only the K value planes stay live across an
-        iteration instead of 3K planes.  The floor matches families()'s
-        ds_safe.
-        """
-        tx_k, ty_k = track_planes(k)
-        ds = jnp.maximum(c_k + rad_N[k] + infl_N, 1e-2)
-        return (xv[S:] - tx_k) / ds, (yv[S:] - ty_k) / ds
 
     # --- init slacks / duals --------------------------------------------
     mu0 = jnp.float32(sc.mu_init)
@@ -528,8 +515,6 @@ def ipm_fused_kernel(
                 fk = fams[f"ob{k}"]
                 g_o, sig_o = _grad_coef(fk, mu_N)
                 c_k, nxk, nyk = obsv[k]
-                if sc.fused_low_liveness:
-                    nxk, nyk = ob_normals(k, c_k, xv, yv)
                 addx = addx - nxk * g_o
                 addy = addy - nyk * g_o
                 h00 = sig_o * nxk * nxk
@@ -715,122 +700,6 @@ def ipm_fused_kernel(
             return (nP00, nP01, nP02, nP11, nP12, nP22, np0, np1, np2,
                     nl0, nl1, nl2, nlmax)
 
-        def bwd_g(tr, carry):
-            """Grouped-plane backward step (``fused_grouped_sweep``).
-
-            Identical math to `bwd`, different op *grouping*: the value
-            Hessian P is carried as its three columns P0/P1/P2 ([3S, L]
-            planes, redundant symmetric storage), the gradient p as one
-            [3S, L] plane, and the 3-vector products (P@a, P@d+p, P'B,
-            Qux rows, gain rows, the symmetrized Qux'K update) run as
-            whole-plane ops — 3 sublanes per op instead of 1.  The 2x2
-            Quu algebra stays scalar (extracted rows).  Symmetry of the
-            carried P is bit-exact: the outer-product form of
-            0.5*(S + S') pairs identical products with commuted adds,
-            and f32 addition commutes.
-            """
-            (P0, P1, P2, p, l0, l1, l2, lmax) = carry
-            t = N - 1 - tr
-            a02t = _row(0, t)
-            a12t = _row(1, t)
-            b00t = _row(2, t)
-            b10t = _row(3, t)
-            d0t = _row(4, t)
-            d1t = _row(5, t)
-            d2t = _row(6, t)
-            Qvt = _row(7, t)
-            Qwt = _row(8, t)
-            qvt = _row(9, t)
-            qwt = _row(10, t)
-            Q0t = _row(11, t)
-            Q1t = _row(12, t)
-            Q2t = _row(13, t)
-            qx0t = _row(14, t)
-            qx1t = _row(15, t)
-            qx2t = _row(16, t)
-            Qxyt = _row(17, t) if K > 0 else jnp.zeros_like(a02t)
-
-            ex = lambda X, i: X[i * S : (i + 1) * S]
-            cat3 = lambda a, b, c: jnp.concatenate([a, b, c], axis=0)
-            u3 = lambda a: up(a, 3)
-
-            Pa = P0 * u3(a02t) + P1 * u3(a12t) + P2  # [Pa0;Pa1;Pa2]
-            Pdp = P0 * u3(d0t) + P1 * u3(d1t) + P2 * u3(d2t) + p
-            PB = P0 * u3(b00t) + P1 * u3(b10t)  # [PB00;PB01;PB02]
-            Pa0, Pa1, Pa2 = ex(Pa, 0), ex(Pa, 1), ex(Pa, 2)
-            Pd0, Pd1, Pd2 = ex(Pdp, 0), ex(Pdp, 1), ex(Pdp, 2)
-
-            e00 = b00t * ex(PB, 0) + b10t * ex(PB, 1)
-            e01 = dt * ex(PB, 2)
-            e11 = dt * dt * ex(P2, 2)
-            Quu00 = Qvt + e00
-            Quu01 = e01
-            Quu11 = Qwt + e11
-            det = Quu00 * Quu11 - Quu01 * Quu01
-            inv = 1.0 / det
-            i00 = Quu11 * inv
-            i01 = -Quu01 * inv
-            i11 = Quu00 * inv
-
-            Qux0v = cat3(
-                ex(PB, 0), ex(PB, 1), b00t * Pa0 + b10t * Pa1
-            )  # Qux row 0: [Qux00;Qux01;Qux02]
-            Qux1v = dt * cat3(ex(P2, 0), ex(P2, 1), Pa2)  # Qux row 1
-            qu0 = qvt + b00t * Pd0 + b10t * Pd1
-            qu1 = qwt + dt * Pd2
-
-            Krow0 = -(u3(i00) * Qux0v + u3(i01) * Qux1v)
-            Krow1 = -(u3(i01) * Qux0v + u3(i11) * Qux1v)
-            k0 = -(i00 * qu0 + i01 * qu1)
-            k1 = -(i01 * qu0 + i11 * qu1)
-            kk_ref[pl.ds(3 * t * S, 3 * S)] = Krow0
-            kk_ref[pl.ds((3 * N + 3 * t) * S, 3 * S)] = Krow1
-            kk_ref[pl.ds((6 * N + t) * S, S)] = k0
-            kk_ref[pl.ds((7 * N + t) * S, S)] = k1
-
-            # A'PA columns and the symmetrized M = 0.5*(Qux'K + (Qux'K)')
-            # columns via the outer-product form: S_ij = U_i K0j + V_i K1j
-            # with U = Qux row 0, V = Qux row 1 (as planes).
-            aPa = a02t * Pa0 + a12t * Pa1 + Pa2
-            APA0 = jnp.concatenate([P0[: 2 * S], Pa0], axis=0)
-            APA1 = jnp.concatenate([P1[: 2 * S], Pa1], axis=0)
-            APA2 = jnp.concatenate([Pa[: 2 * S], aPa], axis=0)
-            M0 = 0.5 * (
-                Qux0v * u3(ex(Krow0, 0)) + Qux1v * u3(ex(Krow1, 0))
-                + Krow0 * u3(ex(Qux0v, 0)) + Krow1 * u3(ex(Qux1v, 0))
-            )
-            M1 = 0.5 * (
-                Qux0v * u3(ex(Krow0, 1)) + Qux1v * u3(ex(Krow1, 1))
-                + Krow0 * u3(ex(Qux0v, 1)) + Krow1 * u3(ex(Qux1v, 1))
-            )
-            M2 = 0.5 * (
-                Qux0v * u3(ex(Krow0, 2)) + Qux1v * u3(ex(Krow1, 2))
-                + Krow0 * u3(ex(Qux0v, 2)) + Krow1 * u3(ex(Qux1v, 2))
-            )
-            z = jnp.zeros_like(a02t)
-            nP0 = cat3(Q0t, Qxyt, z) + APA0 + M0
-            nP1 = cat3(Qxyt, Q1t, z) + APA1 + M1
-            nP2 = cat3(z, z, Q2t) + APA2 + M2
-
-            aPd = a02t * Pd0 + a12t * Pd1 + Pd2
-            npv = (
-                cat3(qx0t, qx1t, qx2t)
-                + jnp.concatenate([Pdp[: 2 * S], aPd], axis=0)
-                + Qux0v * u3(k0)
-                + Qux1v * u3(k1)
-            )
-
-            nl0 = qx0t + l0
-            nl1 = qx1t + l1
-            nl2 = qx2t + a02t * l0 + a12t * l1 + l2
-            nlmax = jnp.maximum(
-                lmax,
-                jnp.maximum(
-                    jnp.abs(nl0), jnp.maximum(jnp.abs(nl1), jnp.abs(nl2))
-                ),
-            )
-            return (nP0, nP1, nP2, npv, nl0, nl1, nl2, nlmax)
-
         # terminal value: stage-N Hessian (diag + xy off-diag) and gradient
         QxyN = Qxy[(N - 1) * S : N * S] if K > 0 else jnp.zeros_like(x0p)
         NL = N * S
@@ -839,28 +708,14 @@ def ipm_fused_kernel(
             jnp.abs(qx[0][NL:NH]),
             jnp.maximum(jnp.abs(qx[1][NL:NH]), jnp.abs(qx[2][NL:NH])),
         )
-        if sc.fused_grouped_sweep:
-            zN = jnp.zeros_like(x0p)
-            carry0g = (
-                jnp.concatenate([Qd[0][NL:NH], QxyN, zN], axis=0),
-                jnp.concatenate([QxyN, Qd[1][NL:NH], zN], axis=0),
-                jnp.concatenate([zN, zN, Qd[2][NL:NH]], axis=0),
-                jnp.concatenate(
-                    [qx[0][NL:NH], qx[1][NL:NH], qx[2][NL:NH]], axis=0
-                ),
-                qx[0][NL:NH], qx[1][NL:NH], qx[2][NL:NH],
-                lamN_abs,
-            )
-            bwd_out = jax.lax.fori_loop(0, N, bwd_g, carry0g)
-        else:
-            carry0 = (
-                Qd[0][NL:NH], QxyN, jnp.zeros_like(x0p),
-                Qd[1][NL:NH], jnp.zeros_like(x0p), Qd[2][NL:NH],
-                qx[0][NL:NH], qx[1][NL:NH], qx[2][NL:NH],
-                qx[0][NL:NH], qx[1][NL:NH], qx[2][NL:NH],
-                lamN_abs,
-            )
-            bwd_out = jax.lax.fori_loop(0, N, bwd, carry0)
+        carry0 = (
+            Qd[0][NL:NH], QxyN, jnp.zeros_like(x0p),
+            Qd[1][NL:NH], jnp.zeros_like(x0p), Qd[2][NL:NH],
+            qx[0][NL:NH], qx[1][NL:NH], qx[2][NL:NH],
+            qx[0][NL:NH], qx[1][NL:NH], qx[2][NL:NH],
+            lamN_abs,
+        )
+        bwd_out = jax.lax.fori_loop(0, N, bwd, carry0)
         lam_max = bwd_out[-1]
 
         # --- forward rollout ------------------------------------------------
@@ -932,8 +787,6 @@ def ipm_fused_kernel(
         if K > 0:
             for k in range(K):
                 c_k, nxk, nyk = obsv[k]
-                if sc.fused_low_liveness:
-                    nxk, nyk = ob_normals(k, c_k, xv, yv)
                 jdz_map[f"ob{k}"] = nxk * ddx[S:] + nyk * ddy[S:]
                 mu_map[f"ob{k}"] = mu_N
         deltas = {nm: step_ds(fams[nm], jdz_map[nm]) for nm in fams}
@@ -1218,8 +1071,6 @@ def ipm_fused_kernel(
         addy = jnp.zeros_like(vv)
         for k in range(K):
             c_k, nxk, nyk = obsv[k]
-            if sc.fused_low_liveness:
-                nxk, nyk = ob_normals(k, c_k, xv, yv)
             nu_k = fams[f"ob{k}"].nu
             addx = addx - nxk * nu_k
             addy = addy - nyk * nu_k
@@ -1362,12 +1213,12 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
         bt = cfg.solver.fused_block or BT
     if sb is None:
         sb = getattr(cfg.solver, "fused_sublanes", 0) or SB
-    # Compiled kernels want 128-lane alignment (vreg lane width); sub-128
-    # lane counts are *allowed* for experiments — Mosaic pads each vector
-    # to 128 lanes, so lanes=64/32 wastes 1/2 / 3/4 of every lane — but
-    # must still be 8-aligned.  Interpret mode only needs the tile to split
-    # evenly into sub-blocks.
-    assert bt % (sb if interpret else 8 * sb) == 0, (bt, sb)
+    # Compiled kernels need 128-lane alignment: Pallas' TPU lowering
+    # rejects block shapes whose last dim is not a multiple of 128 (probed
+    # r4 — sb=2/4 at bt=128, i.e. lanes 64/32, fails in lowering, which
+    # structurally closes the "sublane-pack K=8 below the bt>=256 Mosaic
+    # blocker" route).  Interpret mode only needs the tile to split evenly.
+    assert bt % (sb if interpret else 128 * sb) == 0, (bt, sb)
     lanes = bt // sb
     from ...solver.problem import Diagnostics, Solution
 

@@ -26,10 +26,13 @@ from __future__ import annotations
 
 import functools
 
+import contextlib
+
 import jax
 import numpy as np
 
 _BIG = 1e9
+_nullcontext = contextlib.nullcontext
 
 
 @functools.partial(
@@ -204,13 +207,23 @@ def plan_waypoint_chain(
     B, W, _ = waypoints.shape
     P = points_per_leg
     need = np.where(static_mask, radii + inflation, -1.0).astype(np.float32)
-    paths, reach, _, _ = _plan_fields(
-        np.ascontiguousarray(starts[:, :2], np.float32),
-        np.ascontiguousarray(waypoints[..., :2], np.float32),
-        np.ascontiguousarray(centers, np.float32),
-        need,
-        grid=grid,
-    )
+    # Pin the field computation to CPU: it runs ONCE at world build, and a
+    # TPU execution costs a multi-minute remote Mosaic compile per (B, G)
+    # shape through the tunnel (measured 555 s) for seconds of compute —
+    # while the CPU compiles in seconds and finishes comfortably.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        paths, reach, _, _ = _plan_fields(
+            np.ascontiguousarray(starts[:, :2], np.float32),
+            np.ascontiguousarray(waypoints[..., :2], np.float32),
+            np.ascontiguousarray(centers, np.float32),
+            need,
+            grid=grid,
+        )
     paths = np.asarray(paths)  # [B, W, T, 2]
     reach = np.asarray(reach)  # [B, W]
 

@@ -51,6 +51,8 @@ def main():
     # hops (harder than the reference's operating envelope: straight legs
     # through the field).
     routing = sys.argv[5] if len(sys.argv) > 5 else "plan"
+    # route chain density (grid router): planned points per leg
+    ppl = int(sys.argv[6]) if len(sys.argv) > 6 else 3
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/kissmpc_jax_cache")
@@ -97,6 +99,12 @@ def main():
         # Predict at the plan step so track column t matches the moving
         # world at t plan steps (the reference hardcodes 0.1 s).
         prediction_dt=cfg.time_step,
+        # Skip a non-final route point after 50 stalled ticks (~2 s): the
+        # r4 stuck cohort was parked at inflated boundaries re-attracted
+        # to an awkward intermediate point (dist p50 1.03 m, clearance
+        # pinned at 0.1) — skipping forward hands the MPC the next point
+        # on the planned chain instead.
+        stall_skip_ticks=50,
     )
 
     t0 = time.time()
@@ -104,7 +112,7 @@ def main():
         cfg, batch, n_waypoints=3, seed=0, n_dynamic=2,
         route_around_obstacles=(routing != "direct"),
         router=("grid" if routing == "plan" else "detour"),
-        planner_grid=96,
+        planner_grid=96, points_per_leg=ppl,
     )
     jax.block_until_ready(env)
     print(f"worlds built in {time.time() - t0:.1f}s "
@@ -311,6 +319,7 @@ def main():
         "warm_start_policy": policy,
         "schedule": schedule,
         "routing": routing,
+        "points_per_leg": ppl,
         "episode_ticks_per_s": round(ticks / wall, 2),
         "solves_per_s": round(batch * ticks / wall, 1),
         "latency_pipelined_p50_ms": round(

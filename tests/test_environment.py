@@ -237,3 +237,50 @@ def test_episode_with_crossing_human():
     # never closer than human radius (0.3) + robot radius (0.15)
     assert min_sep >= 0.3 + params.radius - 1e-2, f"min separation {min_sep}"
     assert bool(env_mod.final_goal_reached(params, env))
+
+
+def test_waypoint_skip_ahead_and_stall_skip():
+    # skip-ahead: reaching a LATER waypoint advances past it even if the
+    # current one was never visited; stall-skip: a non-final waypoint not
+    # reached within stall_skip_ticks is skipped, the final never is.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu import environment as env_mod
+    from kissmpc_tpu.agent import AgentParams, init_agent
+
+    cfg = MPCConfig(horizon=6, time_step=0.1)
+    params = AgentParams(stall_skip_ticks=3)
+    wps = jnp.asarray(
+        [[5.0, 5.0, 0.0], [1.0, 0.0, 0.0], [2.0, 0.0, 0.0]], jnp.float32
+    )
+    env = env_mod.init_env(cfg, jnp.zeros(3, jnp.float32), wps)
+
+    # robot sits on waypoint 1 (index 1) while current index is 0
+    agent = init_agent(cfg, jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    env2, info = env_mod._advance_waypoint(
+        params, env, agent, None
+    )
+    assert int(env2.waypoint_index) == 2  # skipped past wp 0 AND wp 1
+    assert not bool(info.final_goal_reached)
+
+    # stall-skip: agent far from everything; after 3 stalled ticks the
+    # (non-final) waypoint is skipped
+    far = init_agent(cfg, jnp.asarray([9.0, -9.0, 0.0], jnp.float32))
+    env_s = env_mod.init_env(cfg, jnp.zeros(3, jnp.float32), wps)
+    for t in range(3):
+        assert int(env_s.waypoint_index) == 0
+        env_s, _ = env_mod._advance_waypoint(params, env_s, far, None)
+    assert int(env_s.waypoint_index) == 1
+    # keep stalling: advances to the final index but never past it, and
+    # final_goal_reached stays False
+    for _ in range(10):
+        env_s, info = env_mod._advance_waypoint(params, env_s, far, None)
+    assert int(env_s.waypoint_index) == 2
+    assert not bool(info.final_goal_reached)
+
+    # reaching the final waypoint directly flags final_goal_reached
+    at_final = init_agent(cfg, jnp.asarray([2.0, 0.0, 0.0], jnp.float32))
+    _, info = env_mod._advance_waypoint(params, env_s, at_final, None)
+    assert bool(info.final_goal_reached)

@@ -119,48 +119,6 @@ def test_fused_sublane_packing_matches_flat(sb):
     )
 
 
-@pytest.mark.parametrize("sb", [1, 2])
-def test_fused_grouped_sweep_matches_scalar(sb):
-    # fused_grouped_sweep reorganizes the backward Riccati algebra into
-    # [3S, L] planes — identical math, different f32 op grouping (one
-    # reassociated sum in np2, commuted adds in the symmetrization), so
-    # controls must match the scalar sweep within op-order noise and the
-    # convergence certificates must agree exactly.
-    import dataclasses
-
-    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
-    obs = static_set(
-        [[0.6, 0.05], [2.5, 2.5]], [0.2, 0.2], max_obstacles=2,
-        dtype=jnp.float32,
-    )
-    ps = []
-    for s, g in [((0.0, 0.0, 0.0), (1.2, 0.1, 0.0)),
-                 ((0.0, -0.4, 0.5), (1.2, 0.3, 0.0)),
-                 ((0.2, -0.3, 1.0), (0.8, 0.6, 0.5)),
-                 ((0.0, 0.0, -2.0), (-0.5, 0.5, 0.0))]:
-        ps.append(
-            problem_with_obstacles(
-                cfg, jnp.asarray(s, jnp.float32), jnp.asarray(g, jnp.float32),
-                obs, inflation_radius=0.25, dtype=jnp.float32,
-            )
-        )
-    problems = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
-    cfg_g = cfg.replace(
-        solver=dataclasses.replace(cfg.solver, fused_grouped_sweep=True)
-    )
-    scal = solve_batch_fused(cfg, problems, interpret=True, bt=4, sb=sb)
-    grp = solve_batch_fused(cfg_g, problems, interpret=True, bt=4, sb=sb)
-    err = np.max(
-        np.abs(np.asarray(grp.controls) - np.asarray(scal.controls))
-    )
-    assert err <= 1e-3, f"grouped vs scalar max control diff {err:.2e}"
-    np.testing.assert_array_equal(
-        np.asarray(grp.diagnostics.converged),
-        np.asarray(scal.diagnostics.converged),
-    )
-    assert bool(jnp.all(grp.diagnostics.converged))
-
-
 def test_fused_adaptive_sigma_matches_jnp():
     # mu_sigma_max > 0 turns on per-scenario adaptive centering; both paths
     # implement the same grow/decay rule so controls must still agree.
@@ -460,42 +418,6 @@ def test_fused_diagnostics_match_jnp_on_same_iterate():
             np.asarray(getattr(fd, name)), np.asarray(getattr(rd, name)),
             rtol=2e-5, atol=1e-6, err_msg=name,
         )
-
-
-def test_fused_low_liveness_matches_carried_normals():
-    # fused_low_liveness recomputes obstacle normals from c + r + infl at
-    # each use instead of carrying 3K planes across the iteration (the
-    # Mosaic K=8/bt>=256 compile unlock).  The reconstruction is exact up
-    # to f32 rounding, so solutions must match to well under the parity
-    # budget and convergence flags must agree.
-    import dataclasses
-
-    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
-    obs = static_set(
-        [[0.6, 0.05], [1.8, 1.5]], [0.2, 0.25], max_obstacles=2,
-        dtype=jnp.float32,
-    )
-    ps = []
-    for s, g in [((0.0, 0.0, 0.0), (1.2, 0.1, 0.0)),
-                 ((0.0, -0.4, 0.5), (1.5, 0.9, 0.0))]:
-        ps.append(
-            problem_with_obstacles(
-                cfg, jnp.asarray(s, jnp.float32), jnp.asarray(g, jnp.float32),
-                obs, inflation_radius=0.25, dtype=jnp.float32,
-            )
-        )
-    problems = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
-    base = solve_batch_fused(cfg, problems, interpret=True, bt=8)
-    cfg_ll = cfg.replace(
-        solver=dataclasses.replace(cfg.solver, fused_low_liveness=True)
-    )
-    ll = solve_batch_fused(cfg_ll, problems, interpret=True, bt=8)
-    err = np.max(np.abs(np.asarray(ll.controls) - np.asarray(base.controls)))
-    assert err <= 1e-4, f"low-liveness vs carried normals diff {err:.2e}"
-    np.testing.assert_array_equal(
-        np.asarray(ll.diagnostics.converged),
-        np.asarray(base.diagnostics.converged),
-    )
 
 
 def test_nonfinite_direction_freezes_not_detonates():
