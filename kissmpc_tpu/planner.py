@@ -272,3 +272,102 @@ def plan_waypoint_chain(
             leg_theta,
         )
     return out, reach
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "iters"))
+def _bottleneck_fields(
+    starts,  # [B, 2]
+    goals,  # [B, 2]
+    centers,  # [B, K, 2]
+    need,  # [B, K] inflated radius (< 0 for inactive)
+    *,
+    grid: int = 96,
+    iters: int = 0,
+):
+    """Widest-path clearance: the best achievable bottleneck margin.
+
+    w(cell) = max over paths cell->goal of min over path cells of
+    (distance to nearest inflated disk), computed by max-min value
+    iteration over the same batched grid the planner uses.  w(start) is
+    the margin of the *most comfortable corridor that exists at all* —
+    if it is ~0, no global planner can hand the MPC a route that clears
+    the constraint boundary, and a robot pressed at the boundary is the
+    geometry's fault, not the stack's.
+    """
+    import jax.numpy as jnp
+
+    B = starts.shape[0]
+    G = grid
+    n_iter = iters or 2 * G
+
+    pts = jnp.stack([starts, goals], axis=1)
+    pad = 0.6 + jnp.max(jnp.where(need > 0, need, 0.0), axis=1)
+    lo = jnp.min(pts, axis=1) - pad[:, None]
+    hi = jnp.max(pts, axis=1) + pad[:, None]
+    span = jnp.max(hi - lo, axis=1)
+    cell = span / (G - 1)
+    ii = jnp.arange(G, dtype=jnp.float32)
+    gx = lo[:, 0, None, None] + ii[None, :, None] * cell[:, None, None]
+    gy = lo[:, 1, None, None] + ii[None, None, :] * cell[:, None, None]
+    dx = gx[:, None] - centers[:, :, 0, None, None]
+    dy = gy[:, None] - centers[:, :, 1, None, None]
+    dist_k = jnp.sqrt(dx * dx + dy * dy)
+    clear = jnp.min(
+        jnp.where(need[:, :, None, None] > 0,
+                  dist_k - need[:, :, None, None], jnp.inf),
+        axis=1,
+    )  # [B, G, G] margin beyond the inflated radius (can be negative)
+
+    bidx = jnp.arange(B)
+    gc = jnp.clip(
+        jnp.round((goals - lo) / cell[:, None]).astype(jnp.int32), 0, G - 1
+    )
+    sc_ = jnp.clip(
+        jnp.round((starts - lo) / cell[:, None]).astype(jnp.int32), 0, G - 1
+    )
+    w0 = jnp.full((B, G, G), -jnp.inf, jnp.float32)
+    w0 = w0.at[bidx, gc[:, 0], gc[:, 1]].set(
+        clear[bidx, gc[:, 0], gc[:, 1]]
+    )
+
+    def relax(w):
+        p = jnp.pad(w, ((0, 0), (1, 1), (1, 1)),
+                    constant_values=-jnp.inf)
+        best = w
+        for di, dj in ((0, 1), (0, -1), (1, 0), (-1, 0),
+                       (1, 1), (1, -1), (-1, 1), (-1, -1)):
+            sh = jax.lax.dynamic_slice(p, (0, 1 + di, 1 + dj), (B, G, G))
+            best = jnp.maximum(best, jnp.minimum(sh, clear))
+        return best
+
+    w = jax.lax.fori_loop(0, n_iter, lambda _, ww: relax(ww), w0)
+    return w[bidx, sc_[:, 0], sc_[:, 1]]  # [B]
+
+
+def bottleneck_clearance(
+    starts: np.ndarray,  # [B, >=2]
+    goals: np.ndarray,  # [B, >=2]
+    centers: np.ndarray,  # [B, K, 2]
+    radii: np.ndarray,  # [B, K]
+    static_mask: np.ndarray,  # [B, K]
+    inflation: float,
+    *,
+    grid: int = 96,
+) -> np.ndarray:
+    """Best-corridor margin beyond r+inflation from each start to its goal
+    (negative = every path must violate the inflated constraint)."""
+    need = np.where(static_mask, radii + inflation, -1.0).astype(np.float32)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        w = _bottleneck_fields(
+            np.ascontiguousarray(starts[:, :2], np.float32),
+            np.ascontiguousarray(goals[:, :2], np.float32),
+            np.ascontiguousarray(centers, np.float32),
+            need,
+            grid=grid,
+        )
+    return np.asarray(w)

@@ -53,6 +53,16 @@ def main():
     routing = sys.argv[5] if len(sys.argv) > 5 else "plan"
     # route chain density (grid router): planned points per leg
     ppl = int(sys.argv[6]) if len(sys.argv) > 6 else 3
+    # periodic global replanning (ticks; 0 = off): every R ticks the grid
+    # planner re-routes each episode from its CURRENT pose to its final
+    # goal (host-side, like the reference's Nav2 /plan re-ingestion,
+    # `ros2interface.py:109-174`).  The replanned chain reuses the same
+    # [B, W', 3] shape (W'-1 route points + the final goal), so the tick
+    # program is untouched.  This is what unsticks pressed-at-boundary
+    # local minima: a fresh route FROM the pressed pose knows the way
+    # around the disk, while the original chain only knew the way from
+    # where the robot was supposed to be.
+    replan_every = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/kissmpc_jax_cache")
@@ -186,7 +196,28 @@ def main():
     pipe_lat = []
     t_start = time.time()
     usab_hist = []
+    n_replans = 0
+    from kissmpc_tpu.planner import plan_waypoint_chain
+
     for t in range(ticks):
+        if replan_every and t > 0 and t % replan_every == 0:
+            # Nav2-style global replan from current poses (host-side,
+            # CPU planner); same chain shape, so no recompile.  The
+            # surgery pause is excluded from the latency samples.
+            Wn = env.waypoints.shape[1]
+            pos3 = np.asarray(env.agent.states_matrix[:, 1, :])
+            final_wp = np.asarray(env.waypoints[:, -1:, :])
+            new_wps, _ = plan_waypoint_chain(
+                pos3, final_wp, oc, orad, static_m,
+                params.inflation_radius, points_per_leg=Wn - 1, grid=96,
+            )
+            env = env._replace(
+                waypoints=jnp.asarray(new_wps),
+                waypoint_index=jnp.zeros((batch,), jnp.int32),
+                stall_ticks=jnp.zeros((batch,), jnp.int32),
+            )
+            n_replans += 1
+            t_prev = time.perf_counter()
         env, obstacles, scal, pos, clr, usab = stepper(env, obstacles)
         for a in (scal, pos, clr, usab):
             try:
@@ -291,6 +322,19 @@ def main():
     wp_blocked_now = ((d_wp_obs < 0.0) & static_m).any(axis=1)
     end_clr = clr_hist[-1]
 
+    # Widest-corridor analysis for every unfinished episode: the best
+    # bottleneck margin (beyond r+inflation) ANY path from the end pose to
+    # the final goal can achieve.  If it is ~0, no global planner can hand
+    # the MPC a comfortable route — the episode is squeeze-limited geometry,
+    # not a stack gap (VERDICT r3 #3's "measured proof" branch).
+    from kissmpc_tpu.planner import bottleneck_clearance
+
+    bneck = bottleneck_clearance(
+        np.concatenate([pos_hist[-1], np.zeros((batch, 1))], axis=1),
+        final_goal,
+        oc, orad, static_m, params.inflation_radius,
+    )
+
     def cohort_stats(mask):
         if not mask.any():
             return None
@@ -311,6 +355,12 @@ def main():
             "waypoints_done_p50": round(
                 float(np.percentile(cur_idx[mask], 50)), 1
             ),
+            "bottleneck_margin_p50": round(
+                float(np.percentile(bneck[mask], 50)), 3
+            ),
+            "squeeze_limited_frac": round(
+                float((bneck[mask] < 0.05).mean()), 3
+            ),
         }
 
     out = {
@@ -320,6 +370,8 @@ def main():
         "schedule": schedule,
         "routing": routing,
         "points_per_leg": ppl,
+        "replan_every": replan_every,
+        "n_replans": n_replans,
         "episode_ticks_per_s": round(ticks / wall, 2),
         "solves_per_s": round(batch * ticks / wall, 1),
         "latency_pipelined_p50_ms": round(
@@ -368,6 +420,23 @@ def main():
         "stuck_cohort": cohort_stats(stuck),
         "oscillating_cohort": cohort_stats(oscillating),
         "chronic_cohort": cohort_stats(chronic),
+        # geometry decomposition of all not-done episodes: a squeeze-limited
+        # episode has NO path to the goal with >= 5 cm margin beyond the
+        # inflated radius — unreachable-in-comfort even under a perfect
+        # planner
+        "notdone_squeeze_limited_frac": (
+            round(float((bneck[not_done] < 0.05).mean()), 4)
+            if not_done.any() else None
+        ),
+        "notdone_bottleneck_p50": (
+            round(float(np.percentile(bneck[not_done], 50)), 3)
+            if not_done.any() else None
+        ),
+        "done_or_squeezelimited_or_blocked": round(
+            float(
+                (at_goal_end | (bneck < 0.05) | wp_blocked_now).mean()
+            ), 4
+        ),
         # Budget verdicts.  The device one is what locally-attached hardware
         # sees per tick: median 5-tick free-running chunk AND pipelined p50
         # must both fit.  The worst chunk is reported but not gating — it

@@ -6,12 +6,8 @@ measurement the tunnel-variance rule trusts for kernel deltas):
   * K=8 bt=128 sb in {1, 2, 4} -- the untried cells of the sublane matrix
     (lanes 64/32; sub-128 lanes pad every vector to 128 lanes, so the
     prediction is a loss -- measured either way, route (a)).
-  * K=8 / free grouped-plane Riccati sweep (`fused_grouped_sweep`) vs
-    scalar -- route (b).
-  * K=8 bt=128 sb=1 low_liveness -- re-A/B at the ls=2 default
-    (VERDICT r3 #6: its +8% was measured against ls=4).
-  * K=8 grouped at bt=256/sb=2 -- does the regrouped (smaller) trace
-    dodge the Mosaic blocker?  Recorded either way.
+  * (as-measured r4) grouped-plane Riccati sweep and low_liveness
+    variants -- both falsified and removed; numbers in SCALING.md r4.
 
 Run (TPU, background, generous timeout):
   cd /root/repo && python scripts/r4_kernel_ab.py [quick]
@@ -60,24 +56,14 @@ def main():
     jax.block_until_ready(probsF)
     print(f"free pool built ({time.time()-t00:.0f}s)", flush=True)
 
-    def grp(cfg, **kw):
-        return cfg.replace(
-            solver=dataclasses.replace(
-                cfg.solver, fused_grouped_sweep=True, **kw
-            )
-        )
-
+    # NOTE: the r4 falsification run also measured `fused_grouped_sweep`
+    # and `fused_low_liveness` variants; both flags were measured-and-
+    # REMOVED afterwards (SCALING.md r4 table; implementations in git
+    # 25e323c), so this script now carries only the surviving configs as
+    # a reusable same-process baseline harness.
     variants = [
         ("k8-scalar", cfgK, probsK, dict(bt=128, sb=1)),
-        ("k8-grouped", grp(cfgK), probsK, dict(bt=128, sb=1)),
         ("free-scalar", cfgF, probsF, dict(bt=256, sb=2)),
-        ("free-grouped", grp(cfgF), probsF, dict(bt=256, sb=2)),
-        ("k8-sb2", cfgK, probsK, dict(bt=128, sb=2)),
-        ("k8-sb4", cfgK, probsK, dict(bt=128, sb=4)),
-        ("k8-lowlive", cfgK.replace(solver=dataclasses.replace(
-            cfgK.solver, fused_low_liveness=True)), probsK,
-         dict(bt=128, sb=1)),
-        ("k8-grouped-bt256", grp(cfgK), probsK, dict(bt=256, sb=2)),
     ]
     ref = {}
     for tag, cfg, probs, kw in variants:
