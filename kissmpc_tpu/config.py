@@ -150,36 +150,16 @@ class SolverConfig:
     # block (free broadcasting only exists at sb=1).  0 = the measured
     # module default (`ops/pallas/ipm_fused.SB`).
     fused_sublanes: int = 0
-    # Tile-level early exit for the fused kernel: a scenario tile stops
-    # iterating once max |Newton direction| over ALL its lanes falls below
-    # this tolerance (0.0 disables).  The on/off gate is *static* (the
-    # predicated loop body costs ~10x Mosaic compile time, so the default
-    # module omits it); the threshold itself is a runtime SMEM scalar —
-    # `solve_batch_fused(early_exit_tol=...)` retunes it without
-    # recompiling.  Conservative (one active lane keeps its tile
-    # running, so per-lane arithmetic is untouched) and honest (the exact
-    # in-kernel KKT diagnostics still certify whatever iterate the loop
-    # ends on).  Pays off when tiles are difficulty-sorted: refine-stage
-    # sub-batches come out of top_k hard-first, so their converged-filler
-    # tiles exit immediately; closed-loop fleets can sort by the previous
-    # tick's convergence.  Fused-path scheduling only — the jnp path always
-    # runs its full budget (iterates at exit are ordinary IPM iterates, so
-    # this is a stopping rule, not an algorithm change).
-    fused_early_exit_tol: float = 0.0
-    # Sort batched solves by a warm-start difficulty score (max dynamics
-    # defect of the warm plan) before dispatch, un-permuting the solutions
-    # afterwards.  Per-scenario results are identical (a pure gather /
-    # scatter around the solve); the point is tile *composition*: scenario
-    # tiles become difficulty-homogeneous, so with
-    # ``fused_early_exit_tol > 0`` the many all-easy tiles (a closed-loop
-    # fleet's carried plans are near-feasible) stop after a handful of
-    # iterations instead of riding the full budget behind one straggler
-    # lane.  Off by default: without early exit it is a no-op permutation.
-    # Caveat: a refine stage whose capacity (fraction * B) is smaller than
-    # the non-converged count picks its sub-batch by position — under
-    # sorting a *different* subset can be refined, so results are
-    # order-identical only when refine capacity covers all candidates.
-    sort_by_difficulty: bool = False
+    # (r4) `fused_early_exit_tol` (tile-level early exit) and
+    # `sort_by_difficulty` (difficulty-homogeneous tiles to feed it) were
+    # REMOVED after direct measurement: re-solving a batch FROM ITS OWN
+    # SOLUTIONS with the exit gate on saved <= 4.5% even at tol=1e-2
+    # (r4 exit probe, git history), because every solve re-initializes
+    # slacks/duals and re-walks the central path regardless of warm-start
+    # quality — the tile's max Newton direction stays above any honest
+    # tolerance for most of the budget.  In the closed-loop fleet the
+    # sorted+exit schedule measured 28.85 ms vs 29.06 ms baseline (noise).
+    # Implementations in git history; numbers in SCALING.md r4.
     # Second-chance refinement (batched solves only): after the fixed
     # iteration budget, gather the worst ``refine_fraction`` of the batch by
     # convergence, re-solve them for ``refine_iterations`` more iterations

@@ -111,14 +111,6 @@ def ipm_fused_kernel(
     # scalar inputs (SMEM):
     it_ref,  # [1] int32: runtime IPM iteration count (dynamic trip count,
     #          so every refine stage shares this one compiled binary)
-    ee_ref,  # [1] f32: early-exit tolerance — the tile stops iterating
-    #          once max |dz| over ALL its lanes falls below this (0 = off).
-    #          Tile-level, conservative: one active lane keeps the whole
-    #          tile iterating, so per-lane arithmetic is unchanged; exact
-    #          KKT diagnostics still run at whatever iterate the loop ends
-    #          on.  Pays off when tiles are difficulty-sorted (refine-stage
-    #          sub-batches come out of top_k hard-first, so their
-    #          converged-filler tiles exit immediately).
     # inputs ([rows*sb, L]):
     scal_ref,  # [27*sb, L]: x0(3), goal(3), cb(4), m_cb(4), sb(6), m_xl(3),
     #            m_xu(3), mu_sigma(1)
@@ -140,8 +132,6 @@ def ipm_fused_kernel(
     s_c_ref, nu_c_ref,  # [4N*sb, L]  (vl, vu, wl, wu blocks)
     s_x_ref, nu_x_ref,  # [6(N+1)*sb, L]  (xl0..2, xu0..2 blocks)
     s_ob_ref, nu_ob_ref,  # [K*N*sb, L] (or [sb, L] dummy)
-    ms_ref,  # [5*sb, L]: loop-carried reg, sigma, merit obj/log/eqc rows
-    go_ref,  # SMEM [1] f32: tile keep-iterating flag (early exit)
 ):
     N = cfg.horizon
     K = cfg.max_obstacles
@@ -425,19 +415,16 @@ def ipm_fused_kernel(
     adaptive_sigma = sc.mu_sigma_max > 0.0
 
     # --- iteration body ---------------------------------------------------
-    # Two loop structures share one body (`_iteration`), chosen at trace
-    # time by the *static* early-exit gate:
-    #  * default (tol == 0): dynamic-bound fori with genuine value carries
-    #    — the compile-fast shape (Mosaic compiles it in tens of seconds;
-    #    both lax.while_loop and scratch-resident carries were measured
-    #    ~10-20x slower to compile, and while_loop additionally crawls in
-    #    interpret mode);
-    #  * early exit (tol > 0): carries live in ms_ref scratch so the whole
-    #    body sits under pl.when — once the tile's largest Newton direction
-    #    drops below the runtime tolerance, remaining iterations take the
-    #    empty branch (one SMEM scalar test each, negligible next to the
-    #    ~4k vreg ops of a live iteration).
-    early_exit = getattr(sc, "fused_early_exit_tol", 0.0) > 0.0
+    # Dynamic-bound fori with genuine value carries — the compile-fast
+    # shape (both lax.while_loop and scratch-resident carries measured
+    # ~10-20x slower to compile, and while_loop additionally crawls in
+    # interpret mode).  A tile-level early-exit variant (scratch-resident
+    # carries under pl.when, stop once the tile's max Newton direction
+    # settles) was built and measured in r4 and REMOVED: even re-solving
+    # from exact solutions it saved <= 4.5% at an aggressive tolerance,
+    # because each solve re-initializes slacks/duals and must re-walk the
+    # central path regardless of warm-start quality (SCALING.md r4;
+    # implementation in git history).
 
     def _iteration(reg, sigma_c, m_obj, m_log, m_eqc):
         # [sb, L] each; m_* are the merit components of the current iterate
@@ -993,48 +980,15 @@ def ipm_fused_kernel(
         return reg_new, sigma_new, m_obj_n, m_log_n, m_eqc_n, step_inf
 
     reg0 = jnp.full_like(x0p, jnp.float32(sc.reg))
-    if early_exit:
-        ms_ref[0 * S : 1 * S] = reg0
-        ms_ref[1 * S : 2 * S] = sig_row
-        ms_ref[2 * S : 3 * S] = m_obj0
-        ms_ref[3 * S : 4 * S] = m_log0
-        ms_ref[4 * S : 5 * S] = m_eqc0
-        go_ref[0] = jnp.float32(1.0)
 
-        def body(i, _):
-            @pl.when(go_ref[0] > 0.5)
-            def _live():
-                outs = _iteration(
-                    ms_ref[0 * S : 1 * S], ms_ref[1 * S : 2 * S],
-                    ms_ref[2 * S : 3 * S], ms_ref[3 * S : 4 * S],
-                    ms_ref[4 * S : 5 * S],
-                )
-                for j in range(5):
-                    ms_ref[j * S : (j + 1) * S] = outs[j]
-                # Early-exit signal: the tile's largest Newton direction.
-                # NaN-safe gate (CLAUDE.md): a NaN max compares False
-                # against the tolerance, so poisoned lanes keep the tile
-                # iterating (harmless — their fallback freeze already
-                # holds) rather than silently stopping it.
-                step_tile = jnp.max(outs[5])
-                go_ref[0] = jnp.where(
-                    step_tile <= ee_ref[0],
-                    jnp.float32(0.0), jnp.float32(1.0),
-                )
-            return jnp.int32(0)
+    def body(i, carry):
+        return _iteration(*carry)[:5]
 
-        jax.lax.fori_loop(0, it_ref[0], body, jnp.int32(0))
-        sigma_fin = ms_ref[1 * S : 2 * S]
-    else:
-
-        def body(i, carry):
-            return _iteration(*carry)[:5]
-
-        fin = jax.lax.fori_loop(
-            0, it_ref[0], body,
-            (reg0, sig_row, m_obj0, m_log0, m_eqc0),
-        )
-        sigma_fin = fin[1]
+    fin = jax.lax.fori_loop(
+        0, it_ref[0], body,
+        (reg0, sig_row, m_obj0, m_log0, m_eqc0),
+    )
+    sigma_fin = fin[1]
 
     # --- exact KKT diagnostics at the final iterate ----------------------
     # Mirrors solver/ipm.py::_diagnostics: Lagrangian gradient with the
@@ -1179,7 +1133,6 @@ def _pad_batch(x, b_padded):
 def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
                       iterations: int | None = None,
                       mu_sigma=None,
-                      early_exit_tol: float | None = None,
                       interpret: bool = False, bt: int | None = None,
                       sb: int | None = None):
     """Solve a batched Problem with the fused IPM kernel.
@@ -1200,14 +1153,6 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
     (iterations, mu_sigma) combination (SCALING.md compile-time budget).
     ``mu_sigma`` may be a scalar or a per-scenario ``[B]`` array.
 
-    Early exit: when ``cfg.solver.fused_early_exit_tol > 0`` (a *static*
-    gate — the predicated body costs ~10x Mosaic compile time, so the
-    default module omits it), a scenario tile stops iterating once every
-    lane's Newton direction has inf-norm below the tolerance.  The
-    threshold itself is a runtime SMEM scalar (``early_exit_tol`` kwarg
-    overrides without recompiling).  Tile-level and conservative (one
-    active lane keeps its whole tile running); the exact KKT diagnostics
-    still certify the final iterate, so converged flags stay honest.
     """
     if bt is None:
         bt = cfg.solver.fused_block or BT
@@ -1362,20 +1307,11 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
         [cfg.solver.iterations if iterations is None else iterations],
         jnp.int32,
     )
-    ee_arr = jnp.asarray(
-        [
-            getattr(cfg.solver, "fused_early_exit_tol", 0.0)
-            if early_exit_tol is None
-            else early_exit_tol
-        ],
-        f32,
-    )
     out_rows = [T1, T1, T1, N, N, 6]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   spec(27), spec(3 * T1 + 2 * N), spec(kn_in), spec(kn_in),
                   spec(obinfo.shape[0] // sb)],
         out_specs=[spec(r) for r in out_rows],
@@ -1397,11 +1333,9 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
             pltpu.VMEM((6 * T1 * sb, lanes), f32),
             pltpu.VMEM((kn * sb, lanes), f32),
             pltpu.VMEM((kn * sb, lanes), f32),
-            pltpu.VMEM((5 * sb, lanes), f32),
-            pltpu.SMEM((1,), f32),
         ],
         interpret=interpret,
-    )(it_arr, ee_arr, scal, warm, tx, ty, obinfo)
+    )(it_arr, scal, warm, tx, ty, obinfo)
 
     (x, y, th, v, w, dg) = outs
     states = jnp.stack([bm(x), bm(y), bm(th)], axis=-1)  # [B, T1, 3]

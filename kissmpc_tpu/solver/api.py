@@ -105,35 +105,6 @@ def _refine_stages(cfg: MPCConfig):
     return ()
 
 
-def _difficulty_score(cfg: MPCConfig, problems: Problem) -> jax.Array:
-    """Warm-start difficulty proxy per scenario: max dynamics-defect of the
-    warm plan plus the initial-state pin residual.
-
-    A carried receding-horizon plan that converged last tick is dynamics-
-    consistent (score ~ 0); a cold, repaired, or junk warm start is not.
-    Cheap (one rollout residual, no solve) and self-contained in the
-    Problem, so sorting needs no state threading from the caller.
-    """
-    xs = problems.warm_states  # [B, N+1, 3]
-    us = problems.warm_controls  # [B, N, 2]
-    dt = cfg.time_step
-    th = xs[:, :-1, 2]
-    v = us[..., 0]
-    pred = jnp.stack(
-        [
-            xs[:, :-1, 0] + v * jnp.cos(th) * dt,
-            xs[:, :-1, 1] + v * jnp.sin(th) * dt,
-            th + us[..., 1] * dt,
-        ],
-        axis=-1,
-    )
-    defect = jnp.max(jnp.abs(pred - xs[:, 1:]), axis=(1, 2))
-    pin = jnp.max(
-        jnp.abs(problems.initial_state - xs[:, 0]), axis=1
-    )
-    return defect + pin
-
-
 def solve_batch(cfg: MPCConfig, problems: Problem) -> Solution:
     """Batched solve with staged second-chance refinement.
 
@@ -151,15 +122,6 @@ def solve_batch(cfg: MPCConfig, problems: Problem) -> Solution:
     Trace-time loop only (the plan is static config); call under `jax.jit`
     (or use `make_batch_solver`).
     """
-    sort_on = cfg.solver.sort_by_difficulty
-    if sort_on:
-        # Difficulty-homogeneous tiles for the fused kernel's tile-level
-        # early exit (see SolverConfig.sort_by_difficulty).  Pure gather;
-        # solutions are un-permuted on the way out, so per-scenario results
-        # are order-independent.
-        order = jnp.argsort(_difficulty_score(cfg, problems))
-        inv = jnp.argsort(order)
-        problems = jax.tree.map(lambda x: x[order], problems)
     sol = _dispatch(cfg, problems)
     B = problems.initial_state.shape[0]
     for frac, iters, mu_sigma in _refine_stages(cfg):
@@ -178,8 +140,6 @@ def solve_batch(cfg: MPCConfig, problems: Problem) -> Solution:
             return full.at[idx].set(jnp.where(t, new, full[idx]))
 
         sol = jax.tree.map(merge, sol, sol2)
-    if sort_on:
-        sol = jax.tree.map(lambda x: x[inv], sol)
     return sol
 
 

@@ -26,9 +26,9 @@ Run (background, generous timeout):
       [policy] [schedule]
 
 ``policy``: "repair" (default) or "full" (repair + gated completion).
-``schedule``: "refine" (default; staged-refinement certification), "base",
-or "sorted" (refine + sort_by_difficulty + fused_early_exit_tol: the
-difficulty-sorted tile early-exit mode — VERDICT r3 #5's measurement).
+``schedule``: "refine" (default; staged-refinement certification) or
+"base".  (An r4 "sorted" early-exit schedule was measured — 28.85 ms vs
+29.06 ms, noise — and removed with the kernel flag; the r4 exit probe, git history.)
 """
 
 import dataclasses
@@ -85,15 +85,9 @@ def main():
             iterations=32,
             refine_stages=(
                 ((0.125, 64, 0.2), (0.02, 96, 0.7))
-                if schedule in ("refine", "sorted")
+                if schedule == "refine"
                 else ()
             ),
-            # "sorted": difficulty-homogeneous tiles + tile-level early
-            # exit.  In a closed loop most carried plans re-converge in a
-            # fraction of the 32-iteration budget; sorting groups them so
-            # their tiles actually stop (the exit is tile-level).
-            sort_by_difficulty=(schedule == "sorted"),
-            fused_early_exit_tol=(1e-4 if schedule == "sorted" else 0.0),
             # Per-scenario adaptive centering: +1.2pt converged / +0.3pt
             # usable at zero latency cost (scripts/sweep_fleet_schedule.py,
             # schedule C vs A).

@@ -237,40 +237,6 @@ def test_fused_runtime_stage_params_match_static():
     )
 
 
-def test_fused_early_exit_preserves_convergence():
-    # Tile-level early exit: easy scenarios' tiles stop once every lane's
-    # Newton direction is tiny.  Results must stay converged and within the
-    # parity budget of the full-budget solve; the static gate off (default
-    # config) must be bit-identical to the ungated kernel.
-    import dataclasses
-
-    cfg = MPCConfig(horizon=12, time_step=0.1)
-    pairs = [
-        ((0.0, 0.0, 0.0), (1.0, 0.4, 0.0)),
-        ((0.2, -0.3, 1.0), (0.8, 0.6, 0.5)),
-        ((0.0, 0.0, -2.0), (-0.5, 0.5, 0.0)),
-    ]
-    problems = _batch_problems(cfg, pairs)
-    full = solve_batch_fused(cfg, problems, interpret=True, bt=8)
-    # runtime kwarg without the static gate is ignored (documented)
-    zero = solve_batch_fused(
-        cfg, problems, interpret=True, bt=8, early_exit_tol=1e-4
-    )
-    np.testing.assert_array_equal(
-        np.asarray(full.controls), np.asarray(zero.controls)
-    )
-    cfg_ee = cfg.replace(
-        solver=dataclasses.replace(cfg.solver, fused_early_exit_tol=1e-4)
-    )
-    ee = solve_batch_fused(cfg_ee, problems, interpret=True, bt=8)
-    assert bool(jnp.all(ee.diagnostics.converged)), (
-        np.asarray(ee.diagnostics.kkt_stationarity),
-        np.asarray(ee.diagnostics.kkt_feasibility),
-    )
-    err = np.max(np.abs(np.asarray(ee.controls) - np.asarray(full.controls)))
-    assert err <= 1e-3, f"early-exit vs full-budget max |du| {err:.2e}"
-
-
 def test_fused_affine_tracks_matches_full_tracks():
     # fused_affine_tracks ships (c0, per-step delta) instead of K*N track
     # planes; for constant-velocity tracks (the reference's prediction

@@ -170,36 +170,3 @@ def test_episode_worlds_route_flag():
     )
     assert env.waypoints.shape == (8, 4, 3)  # detour-before-hop interleave
     assert bool(jnp.all(jnp.isfinite(env.waypoints)))
-
-
-def test_sort_by_difficulty_is_solution_invariant():
-    # sort_by_difficulty is a gather/scatter around the solve: per-scenario
-    # solutions (including refine-stage merges) must come back identical to
-    # the unsorted order.
-    B = 24
-    problems = obstacle_problems(_cfg(), B, seed=5, n_dynamic=1)
-    # make the warm-start difficulty heterogeneous: corrupt a third of them
-    bad = jnp.arange(B) % 3 == 0
-    problems = problems._replace(
-        warm_controls=jnp.where(
-            bad[:, None, None], 0.37, problems.warm_controls
-        )
-    )
-    # full-capacity refine: with capacity < candidate count the refined
-    # *subset* is selected by position and legitimately differs under
-    # sorting (documented in SolverConfig); at capacity 1.0 both orders
-    # refine everyone, so results must match exactly.
-    cfg0 = _cfg(iterations=8, refine_stages=((1.0, 16, 0.3),))
-    cfg1 = _cfg(
-        iterations=8, refine_stages=((1.0, 16, 0.3),),
-        sort_by_difficulty=True,
-    )
-    s0 = make_batch_solver(cfg0)(problems)
-    s1 = make_batch_solver(cfg1)(problems)
-    np.testing.assert_array_equal(
-        np.asarray(s0.controls), np.asarray(s1.controls)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(s0.diagnostics.converged),
-        np.asarray(s1.diagnostics.converged),
-    )
