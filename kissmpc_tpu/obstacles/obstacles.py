@@ -147,22 +147,27 @@ def predict_tracks(obs: ObstacleSet, horizon: int, dt: float = PREDICTION_DT):
     column t.  Static obstacles (zero velocity) yield constant tracks.
     """
 
-    def body(carry, _):
-        pos, theta = carry
-        new_pos = pos + jnp.stack(
-            [
-                obs.linear_velocity * jnp.cos(theta) * dt,
-                obs.linear_velocity * jnp.sin(theta) * dt,
-            ],
-            axis=-1,
-        )
-        new_theta = theta + obs.angular_velocity * dt
-        return (new_pos, new_theta), pos
-
-    (_, _), track = jax.lax.scan(
-        body, (obs.position, obs.orientation), None, length=horizon
-    )
-    return jnp.swapaxes(track, 0, 1)  # [K, N, 2]
+    # Closed form over the horizon instead of a sequential scan: the
+    # original 50-step `lax.scan` carried a tiny [K] state, which under a
+    # B=2048 vmap is latency-bound (50 dependent micro-steps on device) and
+    # showed up as several ms of the fleet tick's problem-construction
+    # phase (scripts/profile_fleet_tick.py).  Step j's displacement is
+    # v*dt*[cos, sin](theta0 + j*w*dt); position after t steps is the
+    # prefix sum, which XLA lowers as a log-depth cumsum.  Identical model
+    # (per-step heading update then move), f32 association differs only in
+    # the cumsum tree.
+    j = jnp.arange(horizon, dtype=obs.position.dtype)  # [N]
+    theta_j = (
+        obs.orientation[..., None]
+        + obs.angular_velocity[..., None] * dt * j
+    )  # [K, N]
+    step = (obs.linear_velocity * dt)[..., None, None] * jnp.stack(
+        [jnp.cos(theta_j), jnp.sin(theta_j)], axis=-1
+    )  # [K, N, 2]
+    cs = jnp.cumsum(step[..., :-1, :], axis=-2)
+    return obs.position[..., None, :] + jnp.concatenate(
+        [jnp.zeros_like(step[..., :1, :]), cs], axis=-2
+    )  # [K, N, 2]; column 0 = current position
 
 
 def advance(obs: ObstacleSet, dt: float) -> ObstacleSet:

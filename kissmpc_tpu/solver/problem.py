@@ -104,17 +104,19 @@ def repair_warm_start(
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [N, K]
         active = obstacle_mask[None, :] > 0.5
         push = jnp.where(active, jnp.maximum(needed - dist, 0.0), 0.0)  # [N,K]
+        # Worst obstacle per state, selected with a one-hot sum instead of
+        # take_along_axis: four small gathers per pass lowered to gather
+        # HLOs that dominated the fleet tick's construction phase
+        # (scripts/profile_fleet_tick.py); the one-hot contraction is pure
+        # elementwise + reduce, which XLA fuses.
         k_star = jnp.argmax(push, axis=1)  # worst obstacle per state
-        push_star = jnp.take_along_axis(push, k_star[:, None], axis=1)[:, 0]
-        diff_star = jnp.take_along_axis(
-            diff, k_star[:, None, None], axis=1
-        )[:, 0, :]
-        dist_star = jnp.maximum(
-            jnp.take_along_axis(dist, k_star[:, None], axis=1)[:, 0], eps
+        onehot = jax.nn.one_hot(k_star, push.shape[1], dtype=push.dtype)
+        push_star = jnp.sum(push * onehot, axis=1)
+        diff_star = jnp.sum(diff * onehot[:, :, None], axis=1)
+        dist_star = jnp.maximum(jnp.sum(dist * onehot, axis=1), eps)
+        needed_star = jnp.sum(
+            jnp.broadcast_to(needed, dist.shape) * onehot, axis=1
         )
-        needed_star = jnp.take_along_axis(
-            jnp.broadcast_to(needed, dist.shape), k_star[:, None], axis=1
-        )[:, 0]
         n = jnp.where(
             dist_star[:, None] > 1e-6,
             diff_star / dist_star[:, None],

@@ -61,10 +61,19 @@ def main():
     cfg_norefine = cfg.replace(
         solver=dataclasses.replace(cfg.solver, refine_stages=())
     )
-    params = AgentParams()
-    env, obstacles = episode_worlds(
-        cfg, batch, n_waypoints=3, seed=0, n_dynamic=2
+    # match the production fleet bench: repair-only warm starts, plan-step
+    # track prediction, grid-planned waypoint chains
+    params = AgentParams(
+        complete_warm_starts=False, prediction_dt=cfg.time_step,
+        stall_skip_ticks=50,
     )
+    env, obstacles = episode_worlds(
+        cfg, batch, n_waypoints=3, seed=0, n_dynamic=2,
+        route_around_obstacles=True, router="grid", planner_grid=96,
+    )
+    # tunnel-RTT baseline: every timeit row below includes one of these
+    trivial = jax.jit(lambda x: x + 1.0)
+    timeit("sync overhead (x+1)", trivial, jnp.zeros((8, 8), jnp.float32))
 
     build = jax.jit(
         lambda e, o: jax.vmap(

@@ -61,7 +61,7 @@ def main():
     stepper = jax.jit(tick_fn)
     budget_ms = cfg.time_step * 1e3
     rows = []
-    for B in (2048, 2560, 3072, 3584, 4096):
+    for B in (2048, 3072, 4096, 5120, 6144, 7168):
         env, obstacles = episode_worlds(
             cfg, B, n_waypoints=3, seed=0, n_dynamic=2,
             route_around_obstacles=True, router="grid", planner_grid=96,
