@@ -69,7 +69,13 @@ class AgentParams:
     complete_warm_starts: bool = True
     # Waypoint stall-skip (environment policy): a *non-final* waypoint not
     # reached within this many consecutive ticks is skipped (0 disables —
-    # reference semantics).  See environment._advance_waypoint.
+    # reference semantics).  See environment._advance_waypoint.  Caveat:
+    # the counter measures failure-to-advance, which cannot distinguish a
+    # pressed-at-boundary minimum from a robot legitimately yielding to a
+    # crossing dynamic obstacle; pick the limit well above any plausible
+    # yield time (a 1 m/s human clears a corridor in ~1-2 s; the fleet
+    # bench uses 50 ticks ~ 2 s) and note the final goal is never skipped,
+    # so the worst case is an earlier hand-off to the next route point.
     stall_skip_ticks: int = 0
 
     @property

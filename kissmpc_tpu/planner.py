@@ -35,6 +35,44 @@ _BIG = 1e9
 _nullcontext = contextlib.nullcontext
 
 
+def _on_cpu():
+    """Context pinning computation to CPU (tunnel-compile avoidance): the
+    planner/clearance fields run ONCE per world build, and a TPU execution
+    costs a multi-minute remote Mosaic compile per (B, G) shape for seconds
+    of compute (measured 555 s), while CPU compiles in seconds."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return _nullcontext()
+    return jax.default_device(cpu)
+
+
+def _grid_frame(points, need, centers, G):
+    """Per-episode square grid frame + per-circle distance field.
+
+    points [B, P, 2] must cover every location the caller will snap to the
+    grid; need [B, K] is the inflated radius per circle (< 0 inactive).
+    Returns (lo [B,2], cell [B], dist_k [B,K,G,G]) — shared by the route
+    planner and the bottleneck-clearance probe so their frames can never
+    drift apart.
+    """
+    import jax.numpy as jnp
+
+    pad = 0.6 + jnp.max(jnp.where(need > 0, need, 0.0), axis=1)  # [B]
+    lo = jnp.min(points, axis=1) - pad[:, None]
+    hi = jnp.max(points, axis=1) + pad[:, None]
+    span = jnp.max(hi - lo, axis=1)  # [B]
+    cell = span / (G - 1)
+    ii = jnp.arange(G, dtype=jnp.float32)
+    gx = lo[:, 0, None, None] + ii[None, :, None] * cell[:, None, None]
+    gy = lo[:, 1, None, None] + ii[None, None, :] * cell[:, None, None]
+    dx = gx[:, None] - centers[:, :, 0, None, None]  # [B, K, G, G]
+    dy = gy[:, None] - centers[:, :, 1, None, None]
+    dist_k = jnp.sqrt(dx * dx + dy * dy)
+    return lo, cell, dist_k
+
+
+
 @functools.partial(
     jax.jit, static_argnames=("grid", "iters", "backtrack_steps")
 )
@@ -62,17 +100,9 @@ def _plan_fields(
     T = backtrack_steps or 3 * G
     n_iter = iters or 2 * G
 
-    # --- per-episode square grid frame -----------------------------------
+    # --- per-episode square grid frame (shared helper) -------------------
     pts = jnp.concatenate([starts[:, None, :], waypoints], axis=1)
-    pad = 0.6 + jnp.max(jnp.where(need > 0, need, 0.0), axis=1)  # [B]
-    lo = jnp.min(pts, axis=1) - pad[:, None]
-    hi = jnp.max(pts, axis=1) + pad[:, None]
-    span = jnp.max(hi - lo, axis=1)  # [B]
-    cell = span / (G - 1)
-    # cell centers
-    ii = jnp.arange(G, dtype=jnp.float32)
-    gx = lo[:, 0, None, None] + ii[None, :, None] * cell[:, None, None]
-    gy = lo[:, 1, None, None] + ii[None, None, :] * cell[:, None, None]
+    lo, cell, dist_k = _grid_frame(pts, need, centers, G)
 
     # --- occupancy + clearance costs from static circles -----------------
     # Hard-blocked: inside the *true* inflated radius (dist < r + infl) —
@@ -86,9 +116,6 @@ def _plan_fields(
     # squeeze only when they must.
     PREF_M = 0.3
     PEN_W = jnp.float32(6.0)
-    dx = gx[:, None] - centers[:, :, 0, None, None]  # [B, K, G, G]
-    dy = gy[:, None] - centers[:, :, 1, None, None]
-    dist_k = jnp.sqrt(dx * dx + dy * dy)  # [B, K, G, G]
     needk = need[:, :, None, None]
     blocked = jnp.any((dist_k < needk) & (needk > 0), axis=1)  # [B, G, G]
     pen = PEN_W * jnp.sum(
@@ -147,7 +174,7 @@ def _plan_fields(
 
         d = jax.lax.fori_loop(0, n_iter, lambda _, dd: relax_u(dd), d0)
         ok = gather(d, sc_) < _BIG / 2  # leg connectivity
-        reach.append(ok)
+        reach.append(ok)  # refined to arrival-checked below
 
         # steepest-descent backtrack source -> target over cells
         dp = jnp.pad(d, ((0, 0), (1, 1), (1, 1)), constant_values=_BIG)
@@ -168,9 +195,14 @@ def _plan_fields(
             nc = cand[bidx, j]
             return nc, center_of(nc)
 
-        _, pts_leg = jax.lax.scan(bt_step, sc_, None, length=T)
+        c_end, pts_leg = jax.lax.scan(bt_step, sc_, None, length=T)
         pts_leg = jnp.moveaxis(pts_leg, 0, 1)  # [B, T, 2]
-        # pin unreachable legs to a straight line (resampled host-side)
+        # A leg only counts as reachable if the descent actually ARRIVED
+        # within the step budget: field connectivity alone would flag a
+        # silently truncated polyline (path > T cells) as routed, and the
+        # resampled chain would then jump across un-routed space.
+        ok = ok & jnp.all(c_end == tc, axis=1)
+        reach[-1] = ok
         paths.append(pts_leg)
         prev = tgt
 
@@ -207,16 +239,7 @@ def plan_waypoint_chain(
     B, W, _ = waypoints.shape
     P = points_per_leg
     need = np.where(static_mask, radii + inflation, -1.0).astype(np.float32)
-    # Pin the field computation to CPU: it runs ONCE at world build, and a
-    # TPU execution costs a multi-minute remote Mosaic compile per (B, G)
-    # shape through the tunnel (measured 555 s) for seconds of compute —
-    # while the CPU compiles in seconds and finishes comfortably.
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
-    with ctx:
+    with _on_cpu():
         paths, reach, _, _ = _plan_fields(
             np.ascontiguousarray(starts[:, :2], np.float32),
             np.ascontiguousarray(waypoints[..., :2], np.float32),
@@ -301,17 +324,7 @@ def _bottleneck_fields(
     n_iter = iters or 2 * G
 
     pts = jnp.stack([starts, goals], axis=1)
-    pad = 0.6 + jnp.max(jnp.where(need > 0, need, 0.0), axis=1)
-    lo = jnp.min(pts, axis=1) - pad[:, None]
-    hi = jnp.max(pts, axis=1) + pad[:, None]
-    span = jnp.max(hi - lo, axis=1)
-    cell = span / (G - 1)
-    ii = jnp.arange(G, dtype=jnp.float32)
-    gx = lo[:, 0, None, None] + ii[None, :, None] * cell[:, None, None]
-    gy = lo[:, 1, None, None] + ii[None, None, :] * cell[:, None, None]
-    dx = gx[:, None] - centers[:, :, 0, None, None]
-    dy = gy[:, None] - centers[:, :, 1, None, None]
-    dist_k = jnp.sqrt(dx * dx + dy * dy)
+    lo, cell, dist_k = _grid_frame(pts, need, centers, G)
     clear = jnp.min(
         jnp.where(need[:, :, None, None] > 0,
                   dist_k - need[:, :, None, None], jnp.inf),
@@ -357,12 +370,7 @@ def bottleneck_clearance(
     """Best-corridor margin beyond r+inflation from each start to its goal
     (negative = every path must violate the inflated constraint)."""
     need = np.where(static_mask, radii + inflation, -1.0).astype(np.float32)
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
-    with ctx:
+    with _on_cpu():
         w = _bottleneck_fields(
             np.ascontiguousarray(starts[:, :2], np.float32),
             np.ascontiguousarray(goals[:, :2], np.float32),

@@ -275,6 +275,7 @@ def episode_worlds(
     router: str = "detour",
     points_per_leg: int = 3,
     planner_grid: int = 64,
+    return_info: bool = False,
     dtype=None,
 ):
     """Batched receding-horizon episode worlds for the fleet-episode bench
@@ -282,7 +283,11 @@ def episode_worlds(
     reachable hops, and an obstacle field seeded along the first leg.
 
     Returns ``(env: EnvState[B], obstacles: ObstacleSet[B])`` ready for
-    `environment.fleet_step` / `parallel.fleet.make_fleet_env_stepper`.
+    `environment.fleet_step` / `parallel.fleet.make_fleet_env_stepper`;
+    with ``return_info=True`` a third element carries generator
+    diagnostics — currently ``{"leg_reachable": [B, W] bool}`` from the
+    grid router (all-True otherwise), so trap-geometry episodes are
+    measurable instead of folded into "stuck" (the planner's contract).
     """
     import jax
     import jax.numpy as jnp
@@ -334,6 +339,7 @@ def episode_worlds(
             angular_velocity=jnp.zeros((batch, K), dtype),
             active=jnp.ones((batch, K), dtype),
         )
+        reach = None
         if route_around_obstacles:
             if router == "grid":
                 # Real global planner (batched grid Dijkstra over the
@@ -343,7 +349,7 @@ def episode_worlds(
                 # equivalent (`ros2interface.py:155-170`).
                 from .planner import plan_waypoint_chain
 
-                waypoints, _reach = plan_waypoint_chain(
+                waypoints, reach = plan_waypoint_chain(
                     starts, waypoints, centers, radii, v == 0.0, inflation,
                     points_per_leg=points_per_leg, grid=planner_grid,
                 )
@@ -360,6 +366,10 @@ def episode_worlds(
     env = jax.vmap(
         lambda s, w: env_mod.init_env(cfg, s, w, dtype=dtype)
     )(jnp.asarray(starts, dtype), jnp.asarray(waypoints, dtype))
+    if return_info:
+        if reach is None:
+            reach = np.ones((batch, waypoints.shape[1]), bool)
+        return env, obstacles, {"leg_reachable": reach}
     return env, obstacles
 
 

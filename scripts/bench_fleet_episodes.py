@@ -112,12 +112,14 @@ def main():
     )
 
     t0 = time.time()
-    env, obstacles = episode_worlds(
+    env, obstacles, winfo = episode_worlds(
         cfg, batch, n_waypoints=3, seed=0, n_dynamic=2,
         route_around_obstacles=(routing != "direct"),
         router=("grid" if routing == "plan" else "detour"),
-        planner_grid=96, points_per_leg=ppl,
+        planner_grid=96, points_per_leg=ppl, return_info=True,
     )
+    leg_unreachable = ~np.asarray(winfo["leg_reachable"])  # [B, W]
+    ep_unreachable = leg_unreachable.any(axis=1)
     jax.block_until_ready(env)
     print(f"worlds built in {time.time() - t0:.1f}s "
           f"(W={env.waypoints.shape[1]})", flush=True)
@@ -206,6 +208,9 @@ def main():
                 params.inflation_radius, points_per_leg=Wn - 1, grid=96,
             )
             env = env._replace(
+                agent=env.agent._replace(
+                    goal_state=jnp.asarray(new_wps[:, 0])
+                ),
                 waypoints=jnp.asarray(new_wps),
                 waypoint_index=jnp.zeros((batch,), jnp.int32),
                 stall_ticks=jnp.zeros((batch,), jnp.int32),
@@ -248,6 +253,11 @@ def main():
     usab_hist.append(np.asarray(pending[3]))
     pipe_lat.append(time.perf_counter() - t_prev)
     wall = time.time() - t_start
+    # Snapshot the waypoint state NOW: the synced + free-running passes
+    # below advance env ~60 more ticks, and the cohort geometry must pair
+    # pos_hist[-1] with the waypoint state of the same tick.
+    wp_snapshot = np.asarray(env.waypoints)
+    idx_snapshot = np.asarray(env.waypoint_index)
 
     # --- synced-latency pass (short) -------------------------------------
     sync_lat = []
@@ -287,7 +297,7 @@ def main():
     ever_unusable = unus_frac_ep > 0.0
     chronic = unus_frac_ep > 0.1
     # --- goal progress + end-state classification ------------------------
-    final_goal = np.asarray(env.waypoints[:, -1, :2])  # [B, 2]
+    final_goal = wp_snapshot[:, -1, :2]  # [B, 2]
     dist_goal = np.linalg.norm(pos_hist - final_goal[None], axis=-1)  # [T,B]
     done_frac_curve = rows[:, 2]
     W = min(20, len(rows) - 1)
@@ -303,10 +313,8 @@ def main():
 
     # --- cohort geometry (VERDICT r3 #3: what ARE the stuck/chronic
     # episodes doing?) -----------------------------------------------------
-    wp_all = np.asarray(env.waypoints)  # [B, W', 3]
-    cur_idx = np.clip(
-        np.asarray(env.waypoint_index), 0, wp_all.shape[1] - 1
-    )
+    wp_all = wp_snapshot  # [B, W', 3] (same tick as pos_hist[-1])
+    cur_idx = np.clip(idx_snapshot, 0, wp_all.shape[1] - 1)
     cur_wp = wp_all[np.arange(batch), cur_idx]  # [B, 3]
     d_cur_wp = np.linalg.norm(pos_hist[-1] - cur_wp[:, :2], axis=-1)
     # is the *current* waypoint itself inside a static inflated disk?
@@ -426,9 +434,13 @@ def main():
             round(float(np.percentile(bneck[not_done], 50)), 3)
             if not_done.any() else None
         ),
+        "unreachable_leg_episodes": round(float(ep_unreachable.mean()), 4),
         "done_or_squeezelimited_or_blocked": round(
             float(
-                (at_goal_end | (bneck < 0.05) | wp_blocked_now).mean()
+                (
+                    at_goal_end | (bneck < 0.05) | wp_blocked_now
+                    | ep_unreachable
+                ).mean()
             ), 4
         ),
         # Budget verdicts.  The device one is what locally-attached hardware

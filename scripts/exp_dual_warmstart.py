@@ -10,7 +10,11 @@ headroom of carrying (s, nu) across ticks on the jnp path (CPU, B small):
   tick 2: advance obstacles one dt, shift the plan one step (the agent's
           carry), rebuild the problem, then solve k iterations with
    A  fresh re-init                    (today's behavior)
-   B  time-shifted duals, s = max(c, floor), nu clamped central
+   B  time-shifted duals raw, s = max(c, floor)
+   B2 time-shifted duals projected toward the central path of the fresh
+      slacks (clip to [center/100, center*100], center = mu_w / s_fresh,
+      mu_w from the shifted iterate's own mean complementarity) — the
+      textbook "clamp warm duals central" mitigation, given its best shot
    C  time-shifted slacks AND duals
 
 for k in {4, 8, 12, 16, 24, 32}, reporting converged fraction per k.  If
@@ -43,7 +47,6 @@ from kissmpc_tpu.solver import ipm
 from kissmpc_tpu.solver.problem import problem_with_obstacles
 
 B = 64
-KAPPA = 1e10
 
 
 def build_problems(cfg, starts, goals, obs, warm=None):
@@ -134,25 +137,66 @@ def main():
         cfg, starts2, goals, obs2, warm=(new_states, new_controls)
     )
 
-    def central_clamp(nu, s, mask, mu):
-        center = mu[:, None, None] / jnp.maximum(s, 1e-10)
-        return mask * jnp.clip(nu, center / KAPPA, center * KAPPA)
-
+    # Fresh init state (gives the consistent slacks B/B2 start from) and
+    # masks for the new problems.
+    it0_fresh = jax.jit(jax.vmap(lambda p: ipm._init_state(cfg, p)))(p2)
     masks2 = jax.vmap(
         lambda p: ipm._constraint_masks(cfg, p, jnp.float32)
     )(p2)
-    # family-mean complementarity of the SHIFTED iterate drives the warm mu
+
+    # Warm mu from the SHIFTED iterate's own mean complementarity (what an
+    # adaptive-mu solver would see if it trusted the carried point).
+    def fam_comp(s_, nu_, m_):
+        return jnp.sum(m_ * s_ * nu_, axis=(1, 2)), jnp.sum(m_, axis=(1, 2))
+
+    tot = jnp.zeros((B,), jnp.float32)
+    cnt = jnp.zeros((B,), jnp.float32)
+    for s_, nu_, m_ in (
+        (shift(it1.s_cl), shift(it1.nu_cl), masks2.cl),
+        (shift(it1.s_cu), shift(it1.nu_cu), masks2.cu),
+        (shift(it1.s_xl), shift(it1.nu_xl), masks2.xl),
+        (shift(it1.s_xu), shift(it1.nu_xu), masks2.xu),
+        (shift(it1.s_ob), shift(it1.nu_ob), masks2.ob),
+    ):
+        t_, c_ = fam_comp(s_, nu_, m_)
+        tot, cnt = tot + t_, cnt + c_
+    mu_w = jnp.clip(0.2 * tot / jnp.maximum(cnt, 1.0), 1e-7, 1.0)  # [B]
+
+    def central_project(nu, s_fresh, mask, kappa=100.0):
+        center = mu_w[:, None, None] / jnp.maximum(s_fresh, 1e-10)
+        return mask * jnp.clip(nu, center / kappa, center * kappa)
+
     rows = []
     for k in (4, 8, 12, 16, 24, 32):
         _, dA = solve_k(cfg, p2, k)
 
-        # B: duals shifted, slacks consistent with the new constraints
+        # B: duals shifted raw, slacks consistent with the new constraints
         nu_warm = {
             "nu_cl": shift(it1.nu_cl), "nu_cu": shift(it1.nu_cu),
             "nu_xl": shift(it1.nu_xl), "nu_xu": shift(it1.nu_xu),
             "nu_ob": shift(it1.nu_ob),
         }
         _, dB = solve_k(cfg, p2, k, init_override=nu_warm)
+
+        # B2: shifted duals projected toward the fresh slacks' central path
+        nu_proj = {
+            "nu_cl": central_project(
+                shift(it1.nu_cl), it0_fresh.s_cl, masks2.cl
+            ),
+            "nu_cu": central_project(
+                shift(it1.nu_cu), it0_fresh.s_cu, masks2.cu
+            ),
+            "nu_xl": central_project(
+                shift(it1.nu_xl), it0_fresh.s_xl, masks2.xl
+            ),
+            "nu_xu": central_project(
+                shift(it1.nu_xu), it0_fresh.s_xu, masks2.xu
+            ),
+            "nu_ob": central_project(
+                shift(it1.nu_ob), it0_fresh.s_ob, masks2.ob
+            ),
+        }
+        _, dB2 = solve_k(cfg, p2, k, init_override=nu_proj)
 
         # C: slacks AND duals shifted (slacks may disagree with c; the
         # consistency term of the merit pulls them together)
@@ -173,6 +217,9 @@ def main():
             ),
             "B_dual_warm": round(
                 float(jnp.mean(dB.converged.astype(jnp.float32))), 4
+            ),
+            "B2_dual_projected": round(
+                float(jnp.mean(dB2.converged.astype(jnp.float32))), 4
             ),
             "C_full_warm": round(
                 float(jnp.mean(dC.converged.astype(jnp.float32))), 4

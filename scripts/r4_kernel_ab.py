@@ -65,7 +65,6 @@ def main():
         ("k8-scalar", cfgK, probsK, dict(bt=128, sb=1)),
         ("free-scalar", cfgF, probsF, dict(bt=256, sb=2)),
     ]
-    ref = {}
     for tag, cfg, probs, kw in variants:
         print(f"--- {tag} {kw} ({time.time()-t00:.0f}s)", flush=True)
         try:
@@ -86,21 +85,12 @@ def main():
             conv = float(
                 jnp.mean(sol.diagnostics.converged.astype(jnp.float32))
             )
-            key = tag.split("-")[0]
-            du = None
-            if key in ref:
-                du = round(float(
-                    np.max(np.abs(np.asarray(sol.controls) - ref[key]))
-                ), 5)
-            else:
-                ref[key] = np.asarray(sol.controls)
             r = {"config": tag, **kw,
                  "solves_per_s": round(B / dt, 1),
                  "latency_ms": round(dt * 1e3, 2),
                  "lat_min_ms": round(min(times) * 1e3, 2),
                  "converged": round(conv, 4),
-                 "compile_s": round(compile_s, 1),
-                 "max_du_vs_first": du}
+                 "compile_s": round(compile_s, 1)}
         except Exception as e:  # noqa: BLE001 — record compile failures
             r = {"config": tag, **kw,
                  "error": f"{type(e).__name__}: {str(e)[:200]}"}
