@@ -69,3 +69,50 @@ except ValueError as e:
     print(f"guard ok: {e}", flush=True)
 
 print(f"VERIFY OK ({time.time()-t0:.1f}s)", flush=True)
+
+# --- r4 final drive additions (run when invoked with "full") -------------
+def fleet_drive():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu import environment as env_mod
+    from kissmpc_tpu.agent import AgentParams
+    from kissmpc_tpu.obstacles.obstacles import advance
+    from kissmpc_tpu.scenarios import episode_worlds
+
+    cfg = MPCConfig(horizon=50, time_step=0.041, max_obstacles=8)
+    import dataclasses as dc
+
+    cfg = cfg.replace(solver=dc.replace(
+        cfg.solver, iterations=32,
+        refine_stages=((0.125, 64, 0.2), (0.02, 96, 0.7)),
+        mu_sigma_max=0.7, fused_affine_tracks=True,
+    ))
+    params = AgentParams(
+        complete_warm_starts=False, prediction_dt=cfg.time_step,
+        stall_skip_ticks=50,
+    )
+    env, obstacles, info = episode_worlds(
+        cfg, 512, n_waypoints=3, seed=3, n_dynamic=2,
+        route_around_obstacles=True, router="grid", return_info=True,
+    )
+    print(f"fleet worlds: W={env.waypoints.shape[1]} "
+          f"leg_reachable={np.asarray(info['leg_reachable']).mean():.3f}",
+          flush=True)
+    step = jax.jit(lambda e, o: env_mod.fleet_step(cfg, params, e, o))
+    adv = jax.jit(jax.vmap(lambda o: advance(o, cfg.time_step)))
+    for t in range(5):
+        env, si = step(env, obstacles)
+        obstacles = adv(obstacles)
+    conv = float(jnp.mean(si.diagnostics.converged.astype(jnp.float32)))
+    print(f"fleet 5 ticks: conv={conv:.4f} "
+          f"done={float(jnp.mean(si.final_goal_reached.astype(jnp.float32))):.3f}",
+          flush=True)
+    assert conv > 0.97, conv
+    print("FLEET DRIVE OK", flush=True)
+
+
+if __name__ == "__main__" and "full" in sys.argv:
+    fleet_drive()
