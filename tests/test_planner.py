@@ -105,3 +105,45 @@ def test_multi_leg_chain_and_headings():
     np.testing.assert_allclose(
         out[nz, j, 2], np.arctan2(d[nz, 1], d[nz, 0]), atol=1e-5
     )
+
+
+def test_bottleneck_clearance_signs():
+    # Open corridor -> comfortably positive margin; enclosed target ->
+    # negative (every path must violate the inflated constraint).
+    from kissmpc_tpu.planner import bottleneck_clearance
+
+    starts = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]], np.float32)
+    goals = np.array([[3.0, 0.0, 0.0], [3.0, 0.0, 0.0]], np.float32)
+    ang = np.linspace(0, 2 * np.pi, 9)[:-1]
+    ring = np.stack(
+        [3.0 + 0.9 * np.cos(ang), 0.9 * np.sin(ang)], axis=-1
+    )
+    far = np.tile(np.array([[20.0, 20.0]], np.float32), (8, 1))
+    centers = np.stack([far, ring]).astype(np.float32)  # [2, 8, 2]
+    radii = np.full((2, 8), 0.3, np.float32)
+    static = np.ones((2, 8), bool)
+    w = bottleneck_clearance(starts, goals, centers, radii, static, INFL)
+    assert w[0] > 0.5, w  # wide open
+    assert w[1] < 0.05, w  # enclosed: no comfortable path exists
+
+
+def test_episode_worlds_return_info():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu.scenarios import episode_worlds
+
+    cfg = MPCConfig(horizon=16, time_step=0.1, max_obstacles=4)
+    env, obs, info = episode_worlds(
+        cfg, 8, n_waypoints=2, seed=0, n_dynamic=1,
+        route_around_obstacles=True, router="grid", return_info=True,
+    )
+    reach = np.asarray(info["leg_reachable"])
+    assert reach.shape == (8, 2) and reach.dtype == bool
+    # two-tuple by default (backward compatible)
+    out = episode_worlds(
+        cfg, 8, n_waypoints=2, seed=0, n_dynamic=1,
+        route_around_obstacles=True, router="grid",
+    )
+    assert len(out) == 2
