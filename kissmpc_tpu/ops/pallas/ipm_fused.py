@@ -132,6 +132,8 @@ def ipm_fused_kernel(
     s_c_ref, nu_c_ref,  # [4N*sb, L]  (vl, vu, wl, wu blocks)
     s_x_ref, nu_x_ref,  # [6(N+1)*sb, L]  (xl0..2, xu0..2 blocks)
     s_ob_ref, nu_ob_ref,  # [K*N*sb, L] (or [sb, L] dummy)
+    pad_ref,  # [5*sb, L] VMEM, deliberately UNUSED (placement shim, see
+    #          solve_batch_fused scratch_shapes)
 ):
     N = cfg.horizon
     K = cfg.max_obstacles
@@ -631,14 +633,16 @@ def ipm_fused_kernel(
             K12 = -(i01 * Qux02 + i11 * Qux12)
             k0 = -(i00 * qu0 + i01 * qu1)
             k1 = -(i01 * qu0 + i11 * qu1)
-            # store gains (shared layout with the grouped sweep: K row 0 as
-            # a per-t 3-row block, K row 1 likewise, then k0/k1 rows)
-            kk_ref[pl.ds(3 * t * S, S)] = K00
-            kk_ref[pl.ds((3 * t + 1) * S, S)] = K01
-            kk_ref[pl.ds((3 * t + 2) * S, S)] = K02
-            kk_ref[pl.ds((3 * N + 3 * t) * S, S)] = K10
-            kk_ref[pl.ds((3 * N + 3 * t + 1) * S, S)] = K11
-            kk_ref[pl.ds((3 * N + 3 * t + 2) * S, S)] = K12
+            # store gains (slot-major: gain g's rows at (g*N + t) — the
+            # r4 per-t interleaved layout measured -7.8% on the free
+            # bt=256/sb=2 config same-process, +2% at K=8/sb=1; slot-major
+            # wins net, scripts/ab_kernel.py vs 8e3f3e0)
+            kk_ref[pl.ds((0 * N + t) * S, S)] = K00
+            kk_ref[pl.ds((1 * N + t) * S, S)] = K01
+            kk_ref[pl.ds((2 * N + t) * S, S)] = K02
+            kk_ref[pl.ds((3 * N + t) * S, S)] = K10
+            kk_ref[pl.ds((4 * N + t) * S, S)] = K11
+            kk_ref[pl.ds((5 * N + t) * S, S)] = K12
             kk_ref[pl.ds((6 * N + t) * S, S)] = k0
             kk_ref[pl.ds((7 * N + t) * S, S)] = k1
             # A' P A: [[P00, P01, Pa0], [P01, P11, Pa1], [Pa0, Pa1, a'Pa]]
@@ -708,12 +712,12 @@ def ipm_fused_kernel(
         # --- forward rollout ------------------------------------------------
         def fwd(t, dxc):
             dx0, dx1, dx2 = dxc
-            K00 = kk_ref[pl.ds(3 * t * S, S)]
-            K01 = kk_ref[pl.ds((3 * t + 1) * S, S)]
-            K02 = kk_ref[pl.ds((3 * t + 2) * S, S)]
-            K10 = kk_ref[pl.ds((3 * N + 3 * t) * S, S)]
-            K11 = kk_ref[pl.ds((3 * N + 3 * t + 1) * S, S)]
-            K12 = kk_ref[pl.ds((3 * N + 3 * t + 2) * S, S)]
+            K00 = kk_ref[pl.ds((0 * N + t) * S, S)]
+            K01 = kk_ref[pl.ds((1 * N + t) * S, S)]
+            K02 = kk_ref[pl.ds((2 * N + t) * S, S)]
+            K10 = kk_ref[pl.ds((3 * N + t) * S, S)]
+            K11 = kk_ref[pl.ds((4 * N + t) * S, S)]
+            K12 = kk_ref[pl.ds((5 * N + t) * S, S)]
             k0 = kk_ref[pl.ds((6 * N + t) * S, S)]
             k1 = kk_ref[pl.ds((7 * N + t) * S, S)]
             du0 = K00 * dx0 + K01 * dx1 + K02 * dx2 + k0
@@ -1333,6 +1337,14 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
             pltpu.VMEM((6 * T1 * sb, lanes), f32),
             pltpu.VMEM((kn * sb, lanes), f32),
             pltpu.VMEM((kn * sb, lanes), f32),
+            # Deliberately-unused VMEM scratch: removing it (r4, when the
+            # early-exit carry buffer it used to be went away) cost -7.8%
+            # on the free bt=256/sb=2 config same-process with IDENTICAL
+            # kernel arithmetic, and restoring it recovered +2% over the
+            # r3 kernel (scripts/ab_kernel.py vs 8e3f3e0, /tmp logs r4).
+            # Mechanism: the extra allocation shifts Mosaic's VMEM buffer
+            # placement; 5 rows x lanes is the empirically-good shim size.
+            pltpu.VMEM((5 * sb, lanes), f32),
         ],
         interpret=interpret,
     )(it_arr, scal, warm, tx, ty, obinfo)

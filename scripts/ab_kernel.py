@@ -78,6 +78,22 @@ def main():
                 cfgK.solver, iterations=32, fused_affine_tracks=True
             )
         )
+
+        def compat(cfg_):
+            # r3-era kernels read flags that r4 removed from SolverConfig;
+            # graft inert instance attributes so `git show`n modules run
+            # (bypasses the frozen dataclass; hash/eq are field-based so
+            # jit staticness is unaffected).
+            for name, val in (
+                ("fused_low_liveness", False),
+                ("fused_grouped_sweep", False),
+                ("fused_early_exit_tol", 0.0),
+                ("sort_by_difficulty", False),
+            ):
+                if not hasattr(cfg_.solver, name):
+                    object.__setattr__(cfg_.solver, name, val)
+            return cfg_
+        cfgK = compat(cfgK)
         pK = obstacle_problems(cfgK, batch, seed=0, n_dynamic=2)
         jax.block_until_ready(pK)
         for label, mod in (("old", old), ("new", new)):
@@ -93,6 +109,7 @@ def main():
         cfg0 = cfg0.replace(
             solver=dataclasses.replace(cfg0.solver, iterations=32)
         )
+        cfg0 = compat(cfg0)
         p0 = free_problems(cfg0, batch, seed=0)
         jax.block_until_ready(p0)
         for label, mod in (("old", old), ("new", new)):
