@@ -39,7 +39,11 @@ class EnvState(NamedTuple):
 
 class StepInfo(NamedTuple):
     diagnostics: Diagnostics
-    at_goal: jax.Array  # bool: reached current waypoint this tick
+    # bool: reached the current OR any later waypoint this tick (skip-ahead
+    # advances past swallowed intermediate hops — a deliberate divergence
+    # from the reference's strictly per-waypoint at_goal,
+    # `mpc/environment.py:77-80`)
+    at_goal: jax.Array
     final_goal_reached: jax.Array  # bool (`mpc/environment.py:31-33`)
     waypoint_index: jax.Array
 

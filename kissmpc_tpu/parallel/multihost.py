@@ -96,7 +96,10 @@ def health_check(mesh: Mesh, timeout_s: float = 10.0) -> bool:
     wrong/non-finite total all report unhealthy.  (The orphaned thread stays
     parked on the dead collective; callers should treat False as fatal for
     this runtime and recover by restarting from a checkpoint — see
-    tests/test_multihost.py's failure-injection drill.)
+    tests/test_multihost.py's failure-injection drill.  Because each failed
+    check leaks one parked daemon thread, do NOT poll this in a supervisor
+    retry loop: bound retries to a handful, then escalate to a process-level
+    restart — the orphaned threads die with the process.)
     """
     import threading
 

@@ -81,7 +81,10 @@ def update(
     # Greedy one-to-one assignment: T rounds of global argmin.
     def assign_body(i, carry):
         cost_m, t_of_d = carry
-        flat = jnp.argmin(cost_m)
+        # int32 explicitly: under x64 argmin yields int64, and an int64
+        # value scattered into the int32 t_of_d is a FutureWarning today
+        # and an error in future JAX.
+        flat = jnp.argmin(cost_m).astype(jnp.int32)
         t, d = flat // D, flat % D
         ok = cost_m[t, d] < INF
         t_of_d = jnp.where(ok, t_of_d.at[d].set(t), t_of_d)

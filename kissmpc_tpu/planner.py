@@ -86,7 +86,7 @@ def _plan_fields(
     iters: int = 0,  # 0 -> 2 * grid
     backtrack_steps: int = 0,  # 0 -> 3 * grid
 ):
-    """All-legs Dijkstra + backtrack.  Returns (paths, lens, reach, lo, cell):
+    """All-legs Dijkstra + backtrack.  Returns (paths, reach, lo, cell):
 
     paths [B, W, T, 2] physical backtrack points per leg (pinned at the leg
     target once reached), reach [B, W] bool leg-connectivity, plus the grid

@@ -300,13 +300,16 @@ def episode_worlds(
     K = cfg.max_obstacles
     rng = np.random.default_rng(seed)
     starts, first_goal = sample_endpoints(cfg, batch, rng)
+    # Per-leg reachability diagnostic from the grid router ([B, W] bool);
+    # stays None (-> all-True) on every other path, including K == 0.
+    leg_reach = None
 
     # Waypoint chain: first hop = sampled goal, further hops random steps of
     # comparable length (a decimated global plan, `ros2interface.py:155-170`).
-    reach = cfg.horizon * cfg.time_step * 0.5
+    hop_len = cfg.horizon * cfg.time_step * 0.5
     hops = [first_goal]
     for _ in range(n_waypoints - 1):
-        r = rng.uniform(0.3 * reach, 1.0 * reach, (batch, 1))
+        r = rng.uniform(0.3 * hop_len, 1.0 * hop_len, (batch, 1))
         ang = rng.uniform(-np.pi, np.pi, (batch, 1))
         prev = hops[-1]
         hops.append(
@@ -339,7 +342,6 @@ def episode_worlds(
             angular_velocity=jnp.zeros((batch, K), dtype),
             active=jnp.ones((batch, K), dtype),
         )
-        reach = None
         if route_around_obstacles:
             if router == "grid":
                 # Real global planner (batched grid Dijkstra over the
@@ -349,7 +351,7 @@ def episode_worlds(
                 # equivalent (`ros2interface.py:155-170`).
                 from .planner import plan_waypoint_chain
 
-                waypoints, reach = plan_waypoint_chain(
+                waypoints, leg_reach = plan_waypoint_chain(
                     starts, waypoints, centers, radii, v == 0.0, inflation,
                     points_per_leg=points_per_leg, grid=planner_grid,
                 )
@@ -367,9 +369,9 @@ def episode_worlds(
         lambda s, w: env_mod.init_env(cfg, s, w, dtype=dtype)
     )(jnp.asarray(starts, dtype), jnp.asarray(waypoints, dtype))
     if return_info:
-        if reach is None:
-            reach = np.ones((batch, waypoints.shape[1]), bool)
-        return env, obstacles, {"leg_reachable": reach}
+        if leg_reach is None:
+            leg_reach = np.ones((batch, waypoints.shape[1]), bool)
+        return env, obstacles, {"leg_reachable": leg_reach}
     return env, obstacles
 
 

@@ -147,3 +147,12 @@ def test_episode_worlds_return_info():
         route_around_obstacles=True, router="grid",
     )
     assert len(out) == 2
+    # K == 0: leg_reachable must still be a [B, W] bool array (ADVICE r4:
+    # a shadowed local used to leak the float hop length here).
+    cfg0 = MPCConfig(horizon=16, time_step=0.1, max_obstacles=0)
+    _, _, info0 = episode_worlds(
+        cfg0, 4, n_waypoints=3, seed=0, return_info=True,
+    )
+    reach0 = np.asarray(info0["leg_reachable"])
+    assert reach0.shape == (4, 3) and reach0.dtype == bool
+    assert reach0.all()
