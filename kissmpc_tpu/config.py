@@ -64,6 +64,24 @@ class SolverConfig:
     mu_init: float = 1.0
     mu_sigma: float = 0.2
     mu_min: float = 1e-9
+    # Predictor-corrector mode:
+    #   "off" — one centered Newton system per iteration (classic path).
+    #   "pc"  — Mehrotra: solve the pure affine-scaling system (mu = 0)
+    #           first, pick sigma = (mu_aff / mu)^3 from its fraction-to-
+    #           boundary outcome, then re-solve with the centered mu plus
+    #           the second-order correction ds_aff * dnu_aff in the
+    #           complementarity RHS.  mu_sigma/mu_sigma_max are ignored.
+    #   "soc" — second-order corrector at the *configured* centering: solve
+    #           the centered system, form ds * dnu from it, re-solve with
+    #           the correction (same mu).  Keeps the adaptive mu_sigma
+    #           machinery; the re-solve shares the factorization, so the
+    #           fused kernel pays only an RHS-sweep per iteration.
+    # Both "pc" and "soc" are incompatible with elastic_obstacles (guarded
+    # in solver/api.py).  Measured r5 (scripts/exp_mehrotra.py): per
+    # *iteration* the corrected direction is ~2.5x better in the mid-phase;
+    # "pc"'s affine probe costs a full extra solve and regresses early
+    # feasibility, so "soc" is the production candidate.
+    mehrotra: str = "off"
     # Per-scenario adaptive centering cap (0 disables).  When > 0, sigma
     # starts at mu_sigma and grows 1.5x toward this cap on every iteration
     # whose accepted step is throttled below 0.25 outside the small-step

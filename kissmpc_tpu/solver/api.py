@@ -52,6 +52,12 @@ def _dispatch(cfg: MPCConfig, problems: Problem, *,
             "elastic_obstacles is implemented in the jnp path only; set "
             "solve_backend='split' to opt into the non-fused solver"
         )
+    if cfg.solver.elastic_obstacles and cfg.solver.mehrotra != "off":
+        raise ValueError(
+            "mehrotra predictor-corrector does not support "
+            "elastic_obstacles (the elastic condensation has no affine/"
+            "corrector split); disable one of the two flags"
+        )
     use_fused = cfg.solver.solve_backend == "fused" and on_accel
     # dtype is static at trace time: the fused kernel is f32-only,
     # f64 batches take the jnp path.

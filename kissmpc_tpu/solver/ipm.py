@@ -223,15 +223,20 @@ def _sigma(nu, s, mask):
     )
 
 
-def _grad_coef(c, s, nu, mask, mu):
-    """Condensed gradient coefficient g_i = mu/s - sigma*(c - s) per constraint.
+def _grad_coef(c, s, nu, mask, mu, corr=None):
+    """Condensed gradient coefficient g_i = (mu - corr_i)/s - sigma*(c - s).
 
     The Newton step contribution along the constraint normal a_i is -a_i g_i
-    on the right-hand side (see module docstring derivation).
+    on the right-hand side (see module docstring derivation).  ``corr`` is
+    the Mehrotra second-order correction ds_aff * dnu_aff (zero / None for
+    the plain and affine-predictor systems): the corrector solves the
+    perturbed complementarity s nu + ds dnu_aff... = mu, i.e. the affine
+    product replaces the dropped second-order term of s_+ nu_+ = mu.
     """
     floor = 1e-14 if s.dtype == jnp.float64 else 1e-10
     sig = _sigma(nu, s, mask)
-    return mask * (mu / jnp.maximum(s, floor) - sig * (c - s)), sig
+    num = mu - corr if corr is not None else mu
+    return mask * (num / jnp.maximum(s, floor) - sig * (c - s)), sig
 
 
 def _elastic_coef(c, s, nu, e, mask, mu, rho_e, dtype64):
@@ -310,8 +315,24 @@ def _merit(cfg: MPCConfig, problem: Problem, states, controls, slacks, mu, rho):
     return obj - mu * log_term + rho * (eq + consist)
 
 
-def _build_lqr(cfg: MPCConfig, problem: Problem, it: IPMState, mu):
-    """Assemble the condensed stage-wise quadratic model."""
+class _Corr(NamedTuple):
+    """Mehrotra second-order corrections ds_aff * dnu_aff per family."""
+
+    cl: jax.Array
+    cu: jax.Array
+    xl: jax.Array
+    xu: jax.Array
+    ob: jax.Array
+
+
+def _build_lqr(cfg: MPCConfig, problem: Problem, it: IPMState, mu,
+               corr: _Corr | None = None):
+    """Assemble the condensed stage-wise quadratic model.
+
+    ``corr`` carries the Mehrotra corrector terms (None = plain / affine
+    system); the Hessian contributions are identical either way — only the
+    condensed gradient coefficients change.
+    """
     sc = cfg.solver
     N = cfg.horizon
     dtype = it.states.dtype
@@ -322,16 +343,17 @@ def _build_lqr(cfg: MPCConfig, problem: Problem, it: IPMState, mu):
         cfg.cost, it.states, it.controls, problem.goal_state
     )
     Hx, Hu = costs.stage_hessians(cfg.cost, it.states, it.controls)
+    cr = lambda f: getattr(corr, f) if corr is not None else None
 
     # Control bounds (J = +-I on u).
-    g_cl, sig_cl = _grad_coef(c_cl, it.s_cl, it.nu_cl, m.cl, mu)
-    g_cu, sig_cu = _grad_coef(c_cu, it.s_cu, it.nu_cu, m.cu, mu)
+    g_cl, sig_cl = _grad_coef(c_cl, it.s_cl, it.nu_cl, m.cl, mu, cr("cl"))
+    g_cu, sig_cu = _grad_coef(c_cu, it.s_cu, it.nu_cu, m.cu, mu, cr("cu"))
     qu = gu - g_cl + g_cu
     Hu_diag = Hu + sig_cl + sig_cu
 
     # State bounds (J = +-I on x).
-    g_xl, sig_xl = _grad_coef(c_xl, it.s_xl, it.nu_xl, m.xl, mu)
-    g_xu, sig_xu = _grad_coef(c_xu, it.s_xu, it.nu_xu, m.xu, mu)
+    g_xl, sig_xl = _grad_coef(c_xl, it.s_xl, it.nu_xl, m.xl, mu, cr("xl"))
+    g_xu, sig_xu = _grad_coef(c_xu, it.s_xu, it.nu_xu, m.xu, mu, cr("xu"))
     qx = gx - g_xl + g_xu
     Hx_diag = Hx + sig_xl + sig_xu
 
@@ -347,7 +369,9 @@ def _build_lqr(cfg: MPCConfig, problem: Problem, it: IPMState, mu):
                 sc.elastic_penalty, dtype == jnp.float64,
             )
         else:
-            g_ob, sig_ob = _grad_coef(c_ob, it.s_ob, it.nu_ob, m.ob, mu)
+            g_ob, sig_ob = _grad_coef(
+                c_ob, it.s_ob, it.nu_ob, m.ob, mu, cr("ob")
+            )
         n = normals  # [N, K, 2]
         # Gradient: rows 1..N of qx get -sum_k n_k * g_k on (x, y).
         qx = qx.at[1:, :2].add(-jnp.einsum("tkd,tk->td", n, g_ob))
@@ -382,27 +406,108 @@ def _build_lqr(cfg: MPCConfig, problem: Problem, it: IPMState, mu):
 
 def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
     sc = cfg.solver
-    data = _build_lqr(cfg, problem, it, mu)
-    sol = _lqr_engine(sc.reg, sc.lqr_backend)(data)
-    dx, du = sol.dx, sol.du
+    floor = 1e-14 if it.states.dtype == jnp.float64 else 1e-10
 
     (c_cl, c_cu, c_xl, c_xu, c_ob), normals, _, m = _constraint_values(
         cfg, problem, it.states, it.controls
     )
 
-    # Slack and dual steps: ds = J dz + (c - s); dnu = mu/s - nu - sigma ds.
-    floor = 1e-14 if it.states.dtype == jnp.float64 else 1e-10
-
-    def steps(c, s, nu, mask, jdz):
+    # Slack and dual steps: ds = J dz + (c - s);
+    # dnu = (mu - corr)/s - nu - sigma ds.
+    def steps(c, s, nu, mask, jdz, mu_t, corr=None):
         ds = mask * (jdz + c - s)
         sig = _sigma(nu, s, mask)
-        dnu = mask * (mu / jnp.maximum(s, floor) - nu - sig * ds)
+        num = mu_t - corr if corr is not None else mu_t
+        dnu = mask * (num / jnp.maximum(s, floor) - nu - sig * ds)
         return ds, dnu
 
-    ds_cl, dnu_cl = steps(c_cl, it.s_cl, it.nu_cl, m.cl, du)
-    ds_cu, dnu_cu = steps(c_cu, it.s_cu, it.nu_cu, m.cu, -du)
-    ds_xl, dnu_xl = steps(c_xl, it.s_xl, it.nu_xl, m.xl, dx)
-    ds_xu, dnu_xu = steps(c_xu, it.s_xu, it.nu_xu, m.xu, -dx)
+    def all_steps(dx, du, mu_t, corr: _Corr | None = None):
+        cr = lambda f: getattr(corr, f) if corr is not None else None
+        ds_cl, dnu_cl = steps(c_cl, it.s_cl, it.nu_cl, m.cl, du,
+                              mu_t, cr("cl"))
+        ds_cu, dnu_cu = steps(c_cu, it.s_cu, it.nu_cu, m.cu, -du,
+                              mu_t, cr("cu"))
+        ds_xl, dnu_xl = steps(c_xl, it.s_xl, it.nu_xl, m.xl, dx,
+                              mu_t, cr("xl"))
+        ds_xu, dnu_xu = steps(c_xu, it.s_xu, it.nu_xu, m.xu, -dx,
+                              mu_t, cr("xu"))
+        jdz_ob = jnp.einsum("tkd,td->tk", normals, dx[1:, :2])
+        ds_ob, dnu_ob = steps(c_ob, it.s_ob, it.nu_ob, m.ob, jdz_ob,
+                              mu_t, cr("ob"))
+        return ((ds_cl, dnu_cl), (ds_cu, dnu_cu), (ds_xl, dnu_xl),
+                (ds_xu, dnu_xu), (ds_ob, dnu_ob))
+
+    def ftb_all(pairs, tau):
+        alpha = jnp.ones((), it.states.dtype)
+        for v, dv in pairs:
+            if v.size:
+                ratio = jnp.where(
+                    dv < 0, -tau * v / jnp.minimum(dv, -1e-30), 1.0
+                )
+                alpha = jnp.minimum(alpha, jnp.minimum(jnp.min(ratio), 1.0))
+        return alpha
+
+    if sc.mehrotra == "pc":
+        # --- Mehrotra predictor-corrector --------------------------------
+        # Affine-scaling predictor (mu = 0, no corrector): probes how far
+        # pure Newton can push complementarity.  Shares the condensed
+        # Hessian with the corrector — only the RHS differs.
+        zero = jnp.zeros((), it.states.dtype)
+        data_aff = _build_lqr(cfg, problem, it, zero)
+        sol_aff = _lqr_engine(sc.reg, sc.lqr_backend)(data_aff)
+        aff = all_steps(sol_aff.dx, sol_aff.du, zero)
+        tau_a = jnp.asarray(sc.tau, it.states.dtype)
+        a_aff = jnp.minimum(
+            ftb_all([(f, d[0]) for f, d in zip(
+                (it.s_cl, it.s_cu, it.s_xl, it.s_xu, it.s_ob), aff)], tau_a),
+            ftb_all([(f, d[1]) for f, d in zip(
+                (it.nu_cl, it.nu_cu, it.nu_xl, it.nu_xu, it.nu_ob), aff)],
+                tau_a),
+        )
+        # mu_aff = mean complementarity after the affine step.
+        tot = jnp.zeros((), it.states.dtype)
+        cnt = jnp.zeros((), it.states.dtype)
+        for (s, nu, mask), (ds, dnu) in zip(
+            ((it.s_cl, it.nu_cl, m.cl), (it.s_cu, it.nu_cu, m.cu),
+             (it.s_xl, it.nu_xl, m.xl), (it.s_xu, it.nu_xu, m.xu),
+             (it.s_ob, it.nu_ob, m.ob)), aff,
+        ):
+            if s.size:
+                tot = tot + jnp.sum(
+                    mask * (s + a_aff * ds) * (nu + a_aff * dnu)
+                )
+                cnt = cnt + jnp.sum(mask)
+        mu_aff = tot / jnp.maximum(cnt, 1.0)
+        # Centering: sigma = (mu_aff / mu)^3 (Mehrotra's heuristic) — near-
+        # zero when the affine step is unblocked (superlinear tail), ~1 when
+        # blocked (recenter).  mu here is the *unscaled* mean
+        # complementarity (see solve()).
+        sigma_m = jnp.clip((mu_aff / jnp.maximum(mu, floor)) ** 3, 0.0, 1.0)
+        eps = jnp.finfo(it.states.dtype).eps
+        mu_floor = jnp.maximum(jnp.asarray(sc.mu_min, it.states.dtype),
+                               50.0 * eps)
+        mu = jnp.clip(sigma_m * mu, mu_floor, sc.mu_init)
+        corr = _Corr(*(ds * dnu for ds, dnu in aff))
+        data = _build_lqr(cfg, problem, it, mu, corr)
+    elif sc.mehrotra == "soc":
+        # --- second-order corrector at the configured centering ----------
+        # The centered solve plays predictor; its ds * dnu products feed
+        # one corrected re-solve at the SAME mu.  The factorization (all
+        # Hessian terms) is shared — only the RHS changes — so the fused
+        # kernel implements this as one extra RHS-only Riccati sweep.
+        data_c = _build_lqr(cfg, problem, it, mu)
+        sol_c = _lqr_engine(sc.reg, sc.lqr_backend)(data_c)
+        pre = all_steps(sol_c.dx, sol_c.du, mu)
+        corr = _Corr(*(ds * dnu for ds, dnu in pre))
+        data = _build_lqr(cfg, problem, it, mu, corr)
+    else:
+        corr = None
+        data = _build_lqr(cfg, problem, it, mu)
+
+    sol = _lqr_engine(sc.reg, sc.lqr_backend)(data)
+    dx, du = sol.dx, sol.du
+    ((ds_cl, dnu_cl), (ds_cu, dnu_cu), (ds_xl, dnu_xl), (ds_xu, dnu_xu),
+     (ds_ob_plain, dnu_ob_plain)) = all_steps(dx, du, mu, corr)
     jdz_ob = jnp.einsum("tkd,td->tk", normals, dx[1:, :2])
     if sc.elastic_obstacles and c_ob.size:
         _, _, (T_ob, r_e_ob, r_c_ob, sig_s_ob, sig_e_ob) = _elastic_coef(
@@ -416,7 +521,7 @@ def _iteration(cfg: MPCConfig, problem: Problem, it: IPMState, mu) -> IPMState:
         de_ob = m.ob * (T_ob - r_e_ob - sig_s_ob * ds_ob) / sig_e_ob
         dnu_ob = m.ob * (T_ob - sig_s_ob * ds_ob)
     else:
-        ds_ob, dnu_ob = steps(c_ob, it.s_ob, it.nu_ob, m.ob, jdz_ob)
+        ds_ob, dnu_ob = ds_ob_plain, dnu_ob_plain
         de_ob = jnp.zeros_like(ds_ob)
 
     # Fraction-to-boundary step limits.
@@ -736,12 +841,23 @@ def solve(cfg: MPCConfig, problem: Problem) -> Solution:
     """
     with jax.default_matmul_precision("float32"):
         sc = cfg.solver
+        if sc.mehrotra != "off" and sc.elastic_obstacles:
+            raise ValueError(
+                "mehrotra predictor-corrector does not support "
+                "elastic_obstacles"
+            )
         it0 = _init_state(cfg, problem)
         dtype = it0.states.dtype
         masks = _constraint_masks(cfg, problem, dtype)
 
         def body(i, it):
-            mu = _adaptive_mu(cfg, it, masks, dtype)
+            if sc.mehrotra == "pc":
+                # Predictor-corrector centers itself: pass the raw mean
+                # complementarity; _iteration derives mu = sigma_m * comp
+                # from the affine probe (sigma_m = (mu_aff/comp)^3).
+                mu = _mean_complementarity(it, masks, dtype)
+            else:
+                mu = _adaptive_mu(cfg, it, masks, dtype)
             return _iteration(cfg, problem, it, mu)
 
         it = jax.lax.fori_loop(0, sc.iterations, body, it0)

@@ -151,3 +151,38 @@ def test_adaptive_sigma_preserves_easy_convergence():
     assert bool(adapt.diagnostics.converged)
     err = float(jnp.max(jnp.abs(adapt.controls - base.controls)))
     assert err <= 1e-4, err
+
+
+def test_mehrotra_pc_matches_baseline_solution():
+    # Mehrotra predictor-corrector ("pc") must converge to the same KKT
+    # point as the baseline schedule on a standard problem (f64), and the
+    # "soc"/"pc" + elastic combination must be refused.
+    import dataclasses
+
+    import pytest
+
+    cfg = MPCConfig(horizon=30, time_step=0.1)
+    cfg_pc = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, mehrotra="pc")
+    )
+    problem = default_problem(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.5, 0.8, 0.5]),
+        dtype=jnp.float64,
+    )
+    base = make_solver(cfg)(problem)
+    pc = make_solver(cfg_pc)(problem)
+    assert bool(base.diagnostics.converged)
+    assert bool(pc.diagnostics.converged), (
+        f"stat={float(pc.diagnostics.kkt_stationarity):.2e} "
+        f"feas={float(pc.diagnostics.kkt_feasibility):.2e}"
+    )
+    err = float(jnp.max(jnp.abs(pc.controls - base.controls)))
+    assert err <= 1e-4, err
+
+    cfg_bad = cfg.replace(
+        solver=dataclasses.replace(
+            cfg.solver, mehrotra="pc", elastic_obstacles=True
+        )
+    )
+    with pytest.raises(ValueError, match="elastic"):
+        make_solver(cfg_bad)(problem)
