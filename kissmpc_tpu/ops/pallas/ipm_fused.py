@@ -217,7 +217,6 @@ def ipm_fused_kernel(
     xub_T = [up(b, T1) for b in xub]
     m_xl_T = [up(m, T1) for m in m_xl]
     m_xu_T = [up(m, T1) for m in m_xu]
-    infl_N = up(infl, N)
 
     # --- init state from warm start -------------------------------------
     warm = warm_ref[:]
@@ -228,48 +227,91 @@ def ipm_fused_kernel(
     w_ref[:] = warm[(3 * T1 + N) * S : (3 * T1 + 2 * N) * S]
 
     if K > 0:
-        rad_N = [
-            up(obinfo_ref[k * S : (k + 1) * S], N) for k in range(K)
-        ]
-        obm_N = [
-            up(obinfo_ref[(K + k) * S : (K + k + 1) * S], N)
-            for k in range(K)
-        ]
+        # Flattened obstacle layout (r5): every per-(k, t) quantity is ONE
+        # [K*N*sb, L] plane (k-major, matching the sm() input layout and
+        # the s_ob/nu_ob scratch), processed by whole-plane ops.  The r1-r4
+        # kernels unrolled a Python loop over k — K times the *static*
+        # instruction count for identical vector work, which is exactly
+        # the axis the Mosaic compile-failure frontier grows along
+        # (SCALING.md r3: K=8/bt>=256 dies while K<=6 passes at equal
+        # VMEM).  Per-k structure survives only in loop-invariant plane
+        # construction here (init-time) and the k-block reductions of the
+        # condensation (_kreduce).
+        radinfl_KN = jnp.concatenate(
+            [
+                pltpu.repeat(obinfo_ref[k * S : (k + 1) * S] + infl, N, 0)
+                for k in range(K)
+            ],
+            axis=0,
+        )  # [K*N*sb, L]: radius_k + inflation, tiled over t
+        obm_KN = jnp.concatenate(
+            [
+                pltpu.repeat(
+                    obinfo_ref[(K + k) * S : (K + k + 1) * S], N, 0
+                )
+                for k in range(K)
+            ],
+            axis=0,
+        )
         affine = sc.fused_affine_tracks
+        tx_in = tx_ref[:]
+        ty_in = ty_ref[:]
         if affine:
             # t index per logical row (track column t covers state t+1).
             trow_N = (
                 jax.lax.broadcasted_iota(jnp.int32, (N * S, 1), 0) // S
             ).astype(jnp.float32)
 
-        def track_planes(k):
-            """Per-time track planes for obstacle k ([N*sb, L] each)."""
-            tx = tx_ref[:]
-            ty = ty_ref[:]
-            if affine:
-                return (
-                    up(tx[k * S : (k + 1) * S], N)
-                    + trow_N * up(tx[(K + k) * S : (K + k + 1) * S], N),
-                    up(ty[k * S : (k + 1) * S], N)
-                    + trow_N * up(ty[(K + k) * S : (K + k + 1) * S], N),
+            def _recon(src):
+                return jnp.concatenate(
+                    [
+                        up(src[k * S : (k + 1) * S], N)
+                        + trow_N
+                        * up(src[(K + k) * S : (K + k + 1) * S], N)
+                        for k in range(K)
+                    ],
+                    axis=0,
                 )
-            return (
-                tx[k * N * S : (k + 1) * N * S],
-                ty[k * N * S : (k + 1) * N * S],
-            )
+
+            tx_full = _recon(tx_in)
+            ty_full = _recon(ty_in)
+        else:
+            tx_full, ty_full = tx_in, ty_in
+
+        def _kreduce(x, op):
+            """[K*N*sb, L] -> [N*sb, L]: contiguous k-block halving."""
+            blk = N * S
+            k = x.shape[0] // blk
+            carry = None
+            while k > 1:
+                half = k // 2
+                y = op(x[: half * blk], x[half * blk : 2 * half * blk])
+                if k % 2:
+                    last = x[2 * half * blk : k * blk]
+                    carry = last if carry is None else op(carry, last)
+                x = y
+                k = half
+            return x if carry is None else op(x, carry)
+
+        def _rep_k(x):
+            """Tile an [N*sb, L] state plane K times (k-major)."""
+            return pltpu.repeat(x, K, 0)
 
     def families(xv, yv, thv, vv, wv, values_only=False,
-                 obstacles_only=False):
+                 obstacles_only=False, xyrep=None):
         """Constraint values (+ normals) at a trial point (whole-array).
 
         ``values_only`` skips the obstacle normals — line-search trial
         evaluations need only constraint values, and the normal planes
-        (2K x [N*sb, L]) are the kernel's largest transient VMEM cost.
+        (2 x [K*N*sb, L]) are the kernel's largest transient VMEM cost.
         The safe distance is recoverable as c + r + infl (see condensation),
         so it is not carried either.  ``obstacles_only`` additionally skips
         the box families: their trial values are affine in alpha, so the
         line search recovers their merit contribution in closed form
         ((1 - alpha) * consist0 — see merit_at) and never needs them.
+        ``xyrep`` optionally passes precomputed K-tiled (x, y) planes
+        (merit trials build them incrementally from the current iterate's
+        tiles instead of re-tiling the trial point).
         """
         if obstacles_only:
             c_vl = c_vu = c_wl = c_wu = None
@@ -283,20 +325,21 @@ def ipm_fused_kernel(
             c_xl = [comps[i] - xlb_T[i] for i in range(3)]
             c_xu = [xub_T[i] - comps[i] for i in range(3)]
         if K > 0:
-            obs = []
-            for k in range(K):
-                tx_k, ty_k = track_planes(k)
-                dxk = xv[S:] - tx_k
-                dyk = yv[S:] - ty_k
-                dist = jnp.sqrt(dxk * dxk + dyk * dyk + 1e-16)
-                c_k = dist - rad_N[k] - infl_N
-                if values_only:
-                    obs.append((c_k, None, None))
-                else:
-                    ds_safe = jnp.maximum(dist, 1e-2)
-                    obs.append((c_k, dxk / ds_safe, dyk / ds_safe))
+            if xyrep is None:
+                xrep, yrep = _rep_k(xv[S:]), _rep_k(yv[S:])
+            else:
+                xrep, yrep = xyrep
+            dxk = xrep - tx_full
+            dyk = yrep - ty_full
+            dist = jnp.sqrt(dxk * dxk + dyk * dyk + 1e-16)
+            c_ob = dist - radinfl_KN
+            if values_only:
+                obs = (c_ob, None, None)
+            else:
+                ds_safe = jnp.maximum(dist, 1e-2)
+                obs = (c_ob, dxk / ds_safe, dyk / ds_safe)
         else:
-            obs = []
+            obs = None
         return (c_vl, c_vu, c_wl, c_wu), c_xl, c_xu, obs
 
     # --- init slacks / duals --------------------------------------------
@@ -324,10 +367,9 @@ def ipm_fused_kernel(
         s_x_ref[(3 + i) * T1 * S : (4 + i) * T1 * S] = s
         nu_x_ref[(3 + i) * T1 * S : (4 + i) * T1 * S] = nu
     if K > 0:
-        for k in range(K):
-            s, nu = init_pair(obs[k][0], obm_N[k])
-            s_ob_ref[k * N * S : (k + 1) * N * S] = s
-            nu_ob_ref[k * N * S : (k + 1) * N * S] = nu
+        s, nu = init_pair(obs[0], obm_KN)
+        s_ob_ref[:] = s
+        nu_ob_ref[:] = nu
 
     def _log_consist(c, mask, s):
         lg = _reduce_sum(mask * jnp.log(jnp.maximum(s, 1e-30)))
@@ -361,13 +403,9 @@ def ipm_fused_kernel(
                 nu_x[(3 + i) * T1 * S : (4 + i) * T1 * S], m_xu_T[i],
             )
         if K > 0:
-            s_o = s_ob_ref[:]
-            nu_o = nu_ob_ref[:]
-            for k in range(K):
-                fams[f"ob{k}"] = _Fam(
-                    obsv[k][0], s_o[k * N * S : (k + 1) * N * S],
-                    nu_o[k * N * S : (k + 1) * N * S], obm_N[k],
-                )
+            fams["ob"] = _Fam(
+                obsv[0], s_ob_ref[:], nu_ob_ref[:], obm_KN
+            )
         return fams
 
     def merit_terms(xv, yv, thv, vv, wv):
@@ -435,7 +473,13 @@ def ipm_fused_kernel(
         reg_T = up(reg, T1)
         xv, yv, thv = x_ref[:], y_ref[:], th_ref[:]
         vv, wv = v_ref[:], w_ref[:]
-        cv, cxl, cxu, obsv = families(xv, yv, thv, vv, wv)
+        if K > 0:
+            # K-tiled current-iterate planes, shared by the condensation
+            # and (incrementally updated) by every merit trial.
+            xyrep = (_rep_k(xv[S:]), _rep_k(yv[S:]))
+        else:
+            xyrep = None
+        cv, cxl, cxu, obsv = families(xv, yv, thv, vv, wv, xyrep=xyrep)
         fams = load_fams(cv, cxl, cxu, obsv)
 
         # adaptive mu from mean complementarity
@@ -454,6 +498,7 @@ def ipm_fused_kernel(
         )
         mu_N = up(mu, N)
         mu_T = up(mu, T1)
+        mu_KN = up(mu, K * N) if K > 0 else None
 
         # --- cost derivatives + condensation -----------------------------
         ct = jnp.cos(thv[:-S])
@@ -495,33 +540,27 @@ def ipm_fused_kernel(
             Qd[i] = Qd[i] + s_l + s_u
         Qxy = jnp.zeros_like(vv)  # (x, y) off-diagonal, rows 1..N only
         if K > 0:
-            addx = jnp.zeros_like(vv)
-            addy = jnp.zeros_like(vv)
-            a00 = jnp.zeros_like(vv)
-            a01 = jnp.zeros_like(vv)
-            a11 = jnp.zeros_like(vv)
-            for k in range(K):
-                fk = fams[f"ob{k}"]
-                g_o, sig_o = _grad_coef(fk, mu_N)
-                c_k, nxk, nyk = obsv[k]
-                addx = addx - nxk * g_o
-                addy = addy - nyk * g_o
-                h00 = sig_o * nxk * nxk
-                h01 = sig_o * nxk * nyk
-                h11 = sig_o * nyk * nyk
-                if sc.obstacle_curvature:
-                    # dist = c + r + infl (up to f32 rounding); the floor
-                    # matches families()'s ds_safe.
-                    dsafe = jnp.maximum(c_k + rad_N[k] + infl_N, 1e-2)
-                    wc = jnp.maximum(
-                        -fk.mask * fk.nu / dsafe, -0.9 * sig_o
-                    )
-                    h00 = h00 + wc * (1.0 - nxk * nxk)
-                    h01 = h01 - wc * nxk * nyk
-                    h11 = h11 + wc * (1.0 - nyk * nyk)
-                a00 = a00 + h00
-                a01 = a01 + h01
-                a11 = a11 + h11
+            fk = fams["ob"]
+            g_o, sig_o = _grad_coef(fk, mu_KN)
+            c_ob, nxk, nyk = obsv
+            h00 = sig_o * nxk * nxk
+            h01 = sig_o * nxk * nyk
+            h11 = sig_o * nyk * nyk
+            if sc.obstacle_curvature:
+                # dist = c + r + infl (up to f32 rounding); the floor
+                # matches families()'s ds_safe.
+                dsafe = jnp.maximum(c_ob + radinfl_KN, 1e-2)
+                wc = jnp.maximum(
+                    -fk.mask * fk.nu / dsafe, -0.9 * sig_o
+                )
+                h00 = h00 + wc * (1.0 - nxk * nxk)
+                h01 = h01 - wc * nxk * nyk
+                h11 = h11 + wc * (1.0 - nyk * nyk)
+            addx = _kreduce(-nxk * g_o, jnp.add)
+            addy = _kreduce(-nyk * g_o, jnp.add)
+            a00 = _kreduce(h00, jnp.add)
+            a01 = _kreduce(h01, jnp.add)
+            a11 = _kreduce(h11, jnp.add)
             # no scatter-add in Mosaic: concatenate the untouched row 0
             cat = lambda base, add: jnp.concatenate(
                 [base[:S], base[S:] + add], axis=0
@@ -776,10 +815,10 @@ def ipm_fused_kernel(
             "xl2": mu_T, "xu2": mu_T,
         }
         if K > 0:
-            for k in range(K):
-                c_k, nxk, nyk = obsv[k]
-                jdz_map[f"ob{k}"] = nxk * ddx[S:] + nyk * ddy[S:]
-                mu_map[f"ob{k}"] = mu_N
+            _, nxk_f, nyk_f = obsv
+            ddxrep, ddyrep = _rep_k(ddx[S:]), _rep_k(ddy[S:])
+            jdz_map["ob"] = nxk_f * ddxrep + nyk_f * ddyrep
+            mu_map["ob"] = mu_KN
         deltas = {nm: step_ds(fams[nm], jdz_map[nm]) for nm in fams}
 
         tau = jnp.float32(sc.tau)
@@ -826,22 +865,32 @@ def ipm_fused_kernel(
             twv = wv + a_N * ddw
             obj, eq, _ = merit_terms(txv, tyv, tthv, tvv, twv)
             if K > 0:
+                # Trial K-tiled planes from the current iterate's tiles —
+                # one fused multiply-add per plane instead of a re-tile.
+                a_KN = up(alpha, K * N)
                 _, _, _, tobs = families(
-                    txv, tyv, tthv, tvv, twv,
+                    None, None, None, None, None,
                     values_only=True, obstacles_only=True,
+                    xyrep=(xyrep[0] + a_KN * ddxrep,
+                           xyrep[1] + a_KN * ddyrep),
                 )
             log_term = jnp.zeros_like(x0p)
             consist = (1.0 - alpha) * consist0_box
             for nm, f in fams.items():
                 ds = deltas[nm]
-                a_f = a_N if ds.shape[0] == N * S else a_T
+                if nm == "ob":
+                    a_f = a_KN
+                elif ds.shape[0] == N * S:
+                    a_f = a_N
+                else:
+                    a_f = a_T
                 ts = f.s + a_f * ds
                 log_term = log_term + _reduce_sum(
                     f.mask * jnp.log(jnp.maximum(ts, 1e-30))
                 )
-                if nm.startswith("ob"):
+                if nm == "ob":
                     consist = consist + _reduce_sum(
-                        f.mask * jnp.abs(tobs[int(nm[2:])][0] - ts)
+                        f.mask * jnp.abs(tobs[0] - ts)
                     )
             eqc = eq + consist
             return obj - mu * log_term + rho * eqc, obj, log_term, eqc
@@ -945,15 +994,16 @@ def ipm_fused_kernel(
                     f.nu + alpha_nu_T * dnu, s_new, f.mask, mu_T
                 )
         if K > 0:
-            for k in range(K):
-                f = fams[f"ob{k}"]
-                ds = deltas[f"ob{k}"]
-                dnu = step_dnu(f, ds, mu_N)
-                s_new = f.s + alpha_N * ds
-                s_ob_ref[k * N * S : (k + 1) * N * S] = s_new
-                nu_ob_ref[k * N * S : (k + 1) * N * S] = clamp(
-                    f.nu + alpha_nu_N * dnu, s_new, f.mask, mu_N
-                )
+            alpha_KN = up(alpha, K * N)
+            alpha_nu_KN = up(alpha_nu, K * N)
+            f = fams["ob"]
+            ds = deltas["ob"]
+            dnu = step_dnu(f, ds, mu_KN)
+            s_new = f.s + alpha_KN * ds
+            s_ob_ref[:] = s_new
+            nu_ob_ref[:] = clamp(
+                f.nu + alpha_nu_KN * dnu, s_new, f.mask, mu_KN
+            )
 
         # Deep-backtrack reg growth only outside the small-step Newton
         # regime: near convergence the f32 merit comparison is noise and the
@@ -1025,13 +1075,10 @@ def ipm_fused_kernel(
     guL0 = gv - fams["vl"].nu + fams["vu"].nu
     guL1 = gw - fams["wl"].nu + fams["wu"].nu
     if K > 0:
-        addx = jnp.zeros_like(vv)
-        addy = jnp.zeros_like(vv)
-        for k in range(K):
-            c_k, nxk, nyk = obsv[k]
-            nu_k = fams[f"ob{k}"].nu
-            addx = addx - nxk * nu_k
-            addy = addy - nyk * nu_k
+        _, nxk, nyk = obsv
+        nu_ob = fams["ob"].nu
+        addx = _kreduce(-nxk * nu_ob, jnp.add)
+        addy = _kreduce(-nyk * nu_ob, jnp.add)
         cat = lambda base, add: jnp.concatenate(
             [base[:S], base[S:] + add], axis=0
         )

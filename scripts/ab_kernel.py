@@ -123,6 +123,23 @@ def main():
         for k in ("k8", "free"):
             o, n = results[f"{k}_old"]["ms"], results[f"{k}_new"]["ms"]
             results[f"{k}_speedup"] = round(o / n, 4)
+
+        # r5: configs the pre-flattening kernel could not compile (Mosaic
+        # HTTP-500 frontier) — new kernel only, skipped on compile failure.
+        for bt, sb in ((256, 1), (256, 2), (512, 2), (512, 4)):
+            try:
+                b, c = timeit(
+                    f"K=8 bt={bt} sb={sb} new",
+                    lambda p: new.solve_batch_fused(cfgK, p, bt=bt, sb=sb),
+                    pK,
+                )
+                results[f"k8_bt{bt}sb{sb}_new"] = {
+                    "ms": round(b, 2), "conv": c
+                }
+            except Exception as e:
+                msg = (str(e).splitlines() or [type(e).__name__])[0][:160]
+                print(f"K=8 bt={bt} sb={sb} new: FAIL {msg}", flush=True)
+                results[f"k8_bt{bt}sb{sb}_new"] = {"fail": msg}
         print("RESULT " + json.dumps(results), flush=True)
     finally:
         os.unlink(OLD_PATH)

@@ -77,20 +77,15 @@ def main():
         )
 
     # Probe order: known-good anchor, then the failure frontier.
+    # r5 (flattened-K kernel): N bisect at K=8/bt=256 — r3's edge was
+    # between N=37 (ok) and N=50 (fail); if the ~8x static-instruction
+    # reduction moved the edge, instruction count is a partial trigger.
     probes = [
-        # (N, K, bt, sb) — comments: r2 status
-        (50, 8, 128, 1),   # known good (production)
-        (50, 8, 256, 1),   # known fail
-        (50, 8, 256, 2),   # known fail
-        (50, 4, 256, 1),   # K bisect
-        (50, 2, 256, 1),
-        (50, 6, 256, 1),
-        (25, 8, 256, 1),   # N bisect at K=8
-        (37, 8, 256, 1),
-        (50, 8, 192, 1),   # bt bisect (non-power-of-two tiles: 192=128+64)
-        (50, 0, 512, 4),   # known fail, K=0
-        (50, 0, 384, 3),
-        (50, 0, 256, 2),   # known good
+        (37, 8, 256, 1),   # r3: ok (anchor)
+        (50, 8, 256, 1),   # r3: fail
+        (40, 8, 256, 1),
+        (44, 8, 256, 1),
+        (47, 8, 256, 1),
     ]
     rows = []
     for (N, K, bt, sb) in probes:

@@ -146,3 +146,40 @@ def test_nan_scenario_isolation():
     )
     assert not bool(sol_poisoned.diagnostics.converged[3])
     assert bool(jnp.all(sol_poisoned.diagnostics.converged[jnp.array(ok)]))
+
+
+def test_fleet_tick_collective_census_constant_in_mesh_size():
+    # Weak-scaling structure guard (VERDICT r4 #5): the fleet tick's
+    # compiled HLO must contain a collective count that does NOT vary with
+    # mesh size — the only collectives are the fixed FleetMetrics
+    # reduction set (pmean/pmax lower to all-reduce even on one device).
+    # A solver/environment change that adds cross-device traffic inside
+    # the solve fails this.  Wall-clock trend lives in
+    # scripts/weak_scaling.py + SCALING.md r5.
+    import dataclasses
+    import re
+
+    import jax
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu.agent import AgentParams
+    from kissmpc_tpu.parallel.fleet import make_fleet_env_stepper, make_mesh
+    from kissmpc_tpu.scenarios import episode_worlds
+
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=2)
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, iterations=6))
+    params = AgentParams(complete_warm_starts=False)
+    pat = re.compile(
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute"
+        r"|all-to-all)"
+    )
+    counts = []
+    for nd in (1, 2, 8):
+        mesh = make_mesh(jax.devices()[:nd])
+        env, obs = episode_worlds(cfg, 8 * nd, n_waypoints=2, seed=0,
+                                  n_dynamic=1)
+        stepper = make_fleet_env_stepper(cfg, params, mesh)
+        hlo = stepper.lower(env, obs).compile().as_text()
+        counts.append(len(pat.findall(hlo)))
+    assert len(set(counts)) == 1, counts
+    assert counts[0] <= 16, counts
