@@ -132,6 +132,9 @@ def ipm_fused_kernel(
     s_c_ref, nu_c_ref,  # [4N*sb, L]  (vl, vu, wl, wu blocks)
     s_x_ref, nu_x_ref,  # [6(N+1)*sb, L]  (xl0..2, xu0..2 blocks)
     s_ob_ref, nu_ob_ref,  # [K*N*sb, L] (or [sb, L] dummy)
+    e_ob_ref,  # [K*N*sb, L] elastic variables (or [sb, L] dummy when the
+    #          elastic_obstacles flag is off — mirrors solver/ipm.py's
+    #          c + e - s = 0, e >= 0, rho_e * e condensation)
     pad_ref,  # [5*sb, L] VMEM, deliberately UNUSED (placement shim, see
     #          solve_batch_fused scratch_shapes)
 ):
@@ -142,6 +145,8 @@ def ipm_fused_kernel(
     cc = cfg.cost
     T1 = N + 1
     S = sb
+    ELASTIC = K > 0 and sc.elastic_obstacles
+    rho_e = jnp.float32(sc.elastic_penalty)
 
     def up(a, n):
         """Tile an [sb, L] scalar row onto n logical rows ([n*sb, L]).
@@ -370,6 +375,14 @@ def ipm_fused_kernel(
         s, nu = init_pair(obs[0], obm_KN)
         s_ob_ref[:] = s
         nu_ob_ref[:] = nu
+        if ELASTIC:
+            # central-ish elastic init (solver/ipm.py::_init_state): e
+            # solves c + e = s when violated, else sits at mu/rho_e.
+            e_ob_ref[:] = jnp.where(
+                obm_KN > 0,
+                jnp.maximum(s - obs[0], mu0 / rho_e),
+                1.0,
+            )
 
     def _log_consist(c, mask, s):
         lg = _reduce_sum(mask * jnp.log(jnp.maximum(s, 1e-30)))
@@ -446,7 +459,20 @@ def ipm_fused_kernel(
     )
     m_log0 = jnp.zeros_like(x0p)
     m_cons0 = jnp.zeros_like(x0p)
-    for f in fams0.values():
+    for nm, f in fams0.items():
+        if ELASTIC and nm == "ob":
+            # elastic merit terms (solver/ipm.py::_merit): log(e) joins the
+            # barrier, rho_e*e joins the objective, consistency is
+            # |c + e - s|.
+            e0v = e_ob_ref[:]
+            m_log0 = m_log0 + _reduce_sum(
+                f.mask * jnp.log(jnp.maximum(f.s, 1e-30))
+            ) + _reduce_sum(f.mask * jnp.log(jnp.maximum(e0v, 1e-30)))
+            m_obj0 = m_obj0 + rho_e * _reduce_sum(f.mask * e0v)
+            m_cons0 = m_cons0 + _reduce_sum(
+                f.mask * jnp.abs(f.c + e0v - f.s)
+            )
+            continue
         lg, cs = _log_consist(f.c, f.mask, f.s)
         m_log0 = m_log0 + lg
         m_cons0 = m_cons0 + cs
@@ -539,9 +565,39 @@ def ipm_fused_kernel(
             qx[i] = qx[i] - g_l + g_u
             Qd[i] = Qd[i] + s_l + s_u
         Qxy = jnp.zeros_like(vv)  # (x, y) off-diagonal, rows 1..N only
+        if ELASTIC:
+            def elastic_terms(fk, ev):
+                """Mirrors solver/ipm.py::_elastic_coef (f32 floors)."""
+                s_safe = jnp.maximum(fk.s, _F32_FLOOR)
+                e_safe = jnp.maximum(ev, _F32_FLOOR)
+                sig_s = _sigma(fk)
+                sig_e = jnp.clip(
+                    mu_KN / (e_safe * e_safe), 0.0, _SIGMA_MAX
+                )
+                sig_eff = fk.mask * sig_s * sig_e / jnp.maximum(
+                    sig_s + sig_e, _F32_FLOOR
+                )
+                T_ = mu_KN / s_safe - fk.nu
+                r_e = rho_e - mu_KN / e_safe - fk.nu
+                r_c = fk.c + ev - fk.s
+                return T_, r_e, r_c, sig_s, sig_e, sig_eff
         if K > 0:
             fk = fams["ob"]
-            g_o, sig_o = _grad_coef(fk, mu_KN)
+            if ELASTIC:
+                e_cur = e_ob_ref[:]
+                T_ob, r_e_ob, r_c_ob, sig_s_ob, sig_e_ob, sig_o = (
+                    elastic_terms(fk, e_cur)
+                )
+                g_o = fk.mask * (
+                    fk.nu
+                    - sig_o * r_c_ob
+                    + sig_o * (
+                        T_ob / jnp.maximum(sig_s_ob, _F32_FLOOR)
+                        + r_e_ob / sig_e_ob
+                    )
+                )
+            else:
+                g_o, sig_o = _grad_coef(fk, mu_KN)
             c_ob, nxk, nyk = obsv
             h00 = sig_o * nxk * nxk
             h01 = sig_o * nxk * nyk
@@ -820,6 +876,23 @@ def ipm_fused_kernel(
             jdz_map["ob"] = nxk_f * ddxrep + nyk_f * ddyrep
             mu_map["ob"] = mu_KN
         deltas = {nm: step_ds(fams[nm], jdz_map[nm]) for nm in fams}
+        de_ob = None
+        if ELASTIC:
+            # Eliminated (ds, de, dnu) of the elastic system
+            # (solver/ipm.py::_iteration elastic branch); T_ob etc. carry
+            # over from the condensation above (same iterate, same mu).
+            fk = fams["ob"]
+            beta = sig_e_ob / jnp.maximum(
+                sig_s_ob + sig_e_ob, _F32_FLOOR
+            )
+            ds_el = fk.mask * beta * (
+                jdz_map["ob"] + r_c_ob + (T_ob - r_e_ob) / sig_e_ob
+            )
+            de_ob = fk.mask * (
+                T_ob - r_e_ob - sig_s_ob * ds_el
+            ) / sig_e_ob
+            dnu_ob_el = fk.mask * (T_ob - sig_s_ob * ds_el)
+            deltas["ob"] = ds_el
 
         tau = jnp.float32(sc.tau)
         alpha_s = jnp.ones_like(x0p)
@@ -827,9 +900,13 @@ def ipm_fused_kernel(
         for nm, f in fams.items():
             ds = deltas[nm]
             alpha_s = jnp.minimum(alpha_s, _ftb(f.s, ds, tau))
-            alpha_nu = jnp.minimum(
-                alpha_nu, _ftb(f.nu, step_dnu(f, ds, mu_map[nm]), tau)
-            )
+            if ELASTIC and nm == "ob":
+                dnu = dnu_ob_el
+            else:
+                dnu = step_dnu(f, ds, mu_map[nm])
+            alpha_nu = jnp.minimum(alpha_nu, _ftb(f.nu, dnu, tau))
+        if ELASTIC:
+            alpha_s = jnp.minimum(alpha_s, _ftb(e_cur, de_ob, tau))
 
         # rho: l1 penalty must dominate the multipliers
         nu_max = jnp.zeros_like(x0p)
@@ -889,9 +966,19 @@ def ipm_fused_kernel(
                     f.mask * jnp.log(jnp.maximum(ts, 1e-30))
                 )
                 if nm == "ob":
-                    consist = consist + _reduce_sum(
-                        f.mask * jnp.abs(tobs[0] - ts)
-                    )
+                    if ELASTIC:
+                        te = e_cur + a_KN * de_ob
+                        log_term = log_term + _reduce_sum(
+                            f.mask * jnp.log(jnp.maximum(te, 1e-30))
+                        )
+                        obj = obj + rho_e * _reduce_sum(f.mask * te)
+                        consist = consist + _reduce_sum(
+                            f.mask * jnp.abs(tobs[0] + te - ts)
+                        )
+                    else:
+                        consist = consist + _reduce_sum(
+                            f.mask * jnp.abs(tobs[0] - ts)
+                        )
             eqc = eq + consist
             return obj - mu * log_term + rho * eqc, obj, log_term, eqc
 
@@ -998,12 +1085,14 @@ def ipm_fused_kernel(
             alpha_nu_KN = up(alpha_nu, K * N)
             f = fams["ob"]
             ds = deltas["ob"]
-            dnu = step_dnu(f, ds, mu_KN)
+            dnu = dnu_ob_el if ELASTIC else step_dnu(f, ds, mu_KN)
             s_new = f.s + alpha_KN * ds
             s_ob_ref[:] = s_new
             nu_ob_ref[:] = clamp(
                 f.nu + alpha_nu_KN * dnu, s_new, f.mask, mu_KN
             )
+            if ELASTIC:
+                e_ob_ref[:] = e_cur + alpha_KN * de_ob
 
         # Deep-backtrack reg growth only outside the small-step Newton
         # regime: near convergence the f32 merit comparison is noise and the
@@ -1218,10 +1307,6 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
     lanes = bt // sb
     from ...solver.problem import Diagnostics, Solution
 
-    assert not cfg.solver.elastic_obstacles, (
-        "elastic obstacle mode is implemented in the jnp path only; use "
-        "solve_backend='split'"
-    )
     N = cfg.horizon
     K = cfg.max_obstacles
     T1 = N + 1
@@ -1384,6 +1469,15 @@ def solve_batch_fused(cfg: MPCConfig, problems: Problem, *,
             pltpu.VMEM((6 * T1 * sb, lanes), f32),
             pltpu.VMEM((kn * sb, lanes), f32),
             pltpu.VMEM((kn * sb, lanes), f32),
+            # Elastic variables (full plane only when the flag is on).
+            pltpu.VMEM(
+                (
+                    (kn if (K > 0 and cfg.solver.elastic_obstacles) else 1)
+                    * sb,
+                    lanes,
+                ),
+                f32,
+            ),
             # Deliberately-unused VMEM scratch: removing it (r4, when the
             # early-exit carry buffer it used to be went away) cost -7.8%
             # on the free bt=256/sb=2 config same-process with IDENTICAL

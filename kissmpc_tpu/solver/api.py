@@ -44,14 +44,6 @@ def _dispatch(cfg: MPCConfig, problems: Problem, *,
     sigma scenario-global; guarded below).
     """
     on_accel = jax.devices()[0].platform != "cpu"
-    if cfg.solver.elastic_obstacles and cfg.solver.solve_backend == "fused":
-        # Elastic mode exists only in the jnp path; silently falling back
-        # would cost ~2x throughput on a production flag flip.  Refuse
-        # loudly (on every platform, so CPU tests catch the combination).
-        raise ValueError(
-            "elastic_obstacles is implemented in the jnp path only; set "
-            "solve_backend='split' to opt into the non-fused solver"
-        )
     if cfg.solver.elastic_obstacles and cfg.solver.mehrotra != "off":
         raise ValueError(
             "mehrotra predictor-corrector does not support "

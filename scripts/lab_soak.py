@@ -1,0 +1,216 @@
+"""Lab-realistic fleet soak: B episodes on the rrc_lab.pgm circle world.
+
+VERDICT r4 #3: the synthetic-field soak runs geometry so dense that most
+unfinished episodes are provably impossible; this soak samples start/goal
+pairs from the reference's actual lab map (config 3 at fleet scale), where
+~100% goal-rate is achievable — separating the generator's ceiling from the
+stack's.
+
+Pipeline: pack the occupancy map into circles (obstacles/mapping.py, the
+reference's `static_obstacle.py:37-56` tool), sample feasible start/goal
+pairs in free space, route each episode with the batched grid planner
+(planner.plan_waypoint_chain — the Nav2-plan equivalent), give each episode
+its M=24 nearest circles (the per-tick solver selects the K=8 within the
+5 m sensor radius, `mpc/environment.py:48-65` semantics), and run the
+production fused tick for `ticks` ticks.
+
+Run (TPU, background):
+  cd /root/repo && python scripts/lab_soak.py [batch=2048] [ticks=500]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MAP = "/root/reference/obstacle_handling/rrc_lab.pgm"
+RESOLUTION = 0.05  # m/px, reference lab map convention
+M_PER_EP = 24  # circles carried per episode (sensor top-K selects from these)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    import jax
+
+    if "cpu" in sys.argv[3:]:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kissmpc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu import environment as env_mod
+    from kissmpc_tpu.agent import AgentParams
+    from kissmpc_tpu.obstacles.mapping import (
+        circles_to_world, pack_circles, read_pgm,
+    )
+    from kissmpc_tpu.obstacles.obstacles import ObstacleSet
+    from kissmpc_tpu.planner import plan_waypoint_chain
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    t0 = time.time()
+    img = read_pgm(MAP)
+    centers_px, radii_px = pack_circles(img, min_radius=3.0, max_circles=400)
+    centers, radii = circles_to_world(
+        centers_px, radii_px, resolution=RESOLUTION,
+        map_height_px=img.shape[0],
+    )
+    print(f"map -> {len(radii)} circles in {time.time()-t0:.1f}s", flush=True)
+
+    cfg = MPCConfig(horizon=50, time_step=0.041, max_obstacles=8)
+    cfg = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, iterations=32,
+        refine_stages=((0.125, 64, 0.2), (0.02, 96, 0.7)),
+        mu_sigma_max=0.7, fused_affine_tracks=True,
+    ))
+    params = AgentParams(
+        prediction_dt=cfg.time_step, complete_warm_starts=False,
+        stall_skip_ticks=50,
+        # Lab world frame spans ~[0, 76] x [0, 41] m — the research-default
+        # +-20 m box (`mpc/agent.py:105`) would make every pose outside it
+        # box-infeasible.
+        state_bounds=(-10.0, 90.0),
+    )
+    ROBOT_R = params.radius
+    INFL = ROBOT_R + params.inflation_margin
+
+    # --- sample feasible start/goal pairs in free space ------------------
+    rng = np.random.default_rng(0)
+    extent = np.array([img.shape[1], img.shape[0]]) * RESOLUTION
+
+    def clearances(P):  # [n, 2] -> [n] min uninflated clearance
+        d = np.linalg.norm(P[:, None, :] - centers[None], axis=-1) - radii
+        return d.min(axis=1)
+
+    pool = rng.uniform([0.5, 0.5], extent - 0.5, size=(120000, 2))
+    pool = pool[clearances(pool) > INFL + 0.25]
+    print(f"free-space pool: {len(pool)} points", flush=True)
+    # episodes sample start/goal WITH replacement from the pool, so a few
+    # thousand distinct free points suffice for any batch size
+    assert len(pool) >= 1000, "free-space pool too small"
+
+    starts_xy = np.zeros((batch, 2), np.float32)
+    goals_xy = np.zeros((batch, 2), np.float32)
+    n_done = 0
+    while n_done < batch:
+        s = pool[rng.integers(0, len(pool), batch)]
+        g = pool[rng.integers(0, len(pool), batch)]
+        d = np.linalg.norm(s - g, axis=1)
+        ok = (d > 2.0) & (d < 4.5)
+        take = min(batch - n_done, ok.sum())
+        starts_xy[n_done:n_done + take] = s[ok][:take]
+        goals_xy[n_done:n_done + take] = g[ok][:take]
+        n_done += take
+
+    th0 = rng.uniform(-np.pi, np.pi, batch).astype(np.float32)
+    starts = np.concatenate([starts_xy, th0[:, None]], axis=1)
+    goals = np.concatenate(
+        [goals_xy, rng.uniform(-np.pi, np.pi, (batch, 1))], axis=1
+    ).astype(np.float32)
+
+    # --- per-episode M nearest circles (to the leg midpoint) -------------
+    mid = 0.5 * (starts_xy + goals_xy)
+    d_mid = np.linalg.norm(
+        mid[:, None, :] - centers[None], axis=-1
+    ) - radii  # [B, n_circ]
+    idx = np.argsort(d_mid, axis=1)[:, :M_PER_EP]  # [B, M]
+    ep_centers = centers[idx].astype(np.float32)  # [B, M, 2]
+    ep_radii = radii[idx].astype(np.float32)
+
+    # --- grid-planner routes over the per-episode circles -----------------
+    t0 = time.time()
+    waypoints, reach = plan_waypoint_chain(
+        starts, goals[:, None, :], ep_centers, ep_radii,
+        np.ones((batch, M_PER_EP), bool), INFL,
+        points_per_leg=3, grid=96,
+    )
+    reach_frac = float(np.asarray(reach).mean())
+    print(f"planned routes in {time.time()-t0:.1f}s; "
+          f"leg_reachable {reach_frac:.4f}", flush=True)
+
+    obstacles = ObstacleSet(
+        position=jnp.asarray(ep_centers),
+        radius=jnp.asarray(ep_radii),
+        orientation=jnp.zeros((batch, M_PER_EP), jnp.float32),
+        linear_velocity=jnp.zeros((batch, M_PER_EP), jnp.float32),
+        angular_velocity=jnp.zeros((batch, M_PER_EP), jnp.float32),
+        active=jnp.ones((batch, M_PER_EP), jnp.float32),
+    )
+    env = jax.vmap(
+        lambda s, w: env_mod.init_env(cfg, s, w, dtype=jnp.float32)
+    )(jnp.asarray(starts, jnp.float32), jnp.asarray(waypoints, jnp.float32))
+
+    from kissmpc_tpu.obstacles.obstacles import clearance_to_point
+
+    def tick(env):
+        new_env, info = env_mod.fleet_step(cfg, params, env, obstacles)
+        pos = new_env.agent.states_matrix[:, 1, :2]
+        clr = jax.vmap(clearance_to_point)(obstacles, pos) - ROBOT_R
+        scal = jnp.stack([
+            jnp.mean(info.diagnostics.converged.astype(jnp.float32)),
+            jnp.mean(info.final_goal_reached.astype(jnp.float32)),
+            jnp.min(clr),
+        ])
+        return new_env, scal, clr
+
+    stepper = jax.jit(tick)
+    t0 = time.time()
+    env, scal, clr = stepper(env)
+    _ = np.asarray(scal)
+    print(f"compile+first tick {time.time()-t0:.1f}s", flush=True)
+
+    lat, rows, min_clr = [], [], None
+    pending = None
+    t_prev = time.perf_counter()
+    for t in range(ticks):
+        env, scal, clr = stepper(env)
+        for a in (scal, clr):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        if pending is not None:
+            row = np.asarray(pending[0])
+            c = np.asarray(pending[1])
+            rows.append(row)
+            min_clr = c if min_clr is None else np.minimum(min_clr, c)
+            now = time.perf_counter()
+            lat.append(now - t_prev)
+            t_prev = now
+        pending = (scal, clr)
+        if t % 50 == 0 and rows:
+            print(f"tick {t:4d} conv={rows[-1][0]:.4f} "
+                  f"done={rows[-1][1]:.4f} min_clr={rows[-1][2]:.3f} "
+                  f"lat={lat[-1]*1e3:.1f}ms", flush=True)
+    row = np.asarray(pending[0])
+    c = np.asarray(pending[1])
+    rows.append(row)
+    min_clr = np.minimum(min_clr, c)
+    rows = np.stack(rows)
+    lat = np.asarray(lat) * 1e3
+
+    collided = (min_clr < 0.0)
+    out = {
+        "batch": batch,
+        "ticks": ticks,
+        "n_circles": int(len(radii)),
+        "leg_reachable_frac": round(reach_frac, 4),
+        "goal_rate": round(float(rows[-1][1]), 4),
+        "goal_rate_curve": [round(float(rows[i][1]), 4)
+                            for i in range(0, len(rows), max(1, ticks // 10))],
+        "collision_rate": round(float(collided.mean()), 5),
+        "min_clearance_overall": round(float(min_clr.min()), 4),
+        "converged_mean": round(float(rows[:, 0].mean()), 4),
+        "latency_p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "latency_p99_ms": round(float(np.percentile(lat, 99)), 2),
+    }
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

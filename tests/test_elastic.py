@@ -8,6 +8,7 @@ reaches a well-defined stationary point instead of a merit deadlock.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,23 +91,48 @@ def test_elastic_no_dual_explosion_on_symmetric_deadlock():
     assert not bool(d.converged)
 
 
-def test_fused_dispatch_refuses_elastic():
-    # VERDICT r2 item 7: elastic mode exists only in the jnp path; the fused
-    # backend must refuse loudly instead of silently changing backend (a
-    # ~2x throughput cliff on a config flag).
-    import pytest
+def test_fused_kernel_elastic_matches_jnp_path():
+    # r5: the fused kernel implements the elastic condensation (VERDICT r4
+    # #6 closed the backend asymmetry).  Interpret-mode kernel vs the jnp
+    # oracle on an infeasible-geometry batch: same iterates to f32 noise,
+    # same elastic stationarity.
+    import numpy as np
 
+    from kissmpc_tpu.obstacles import static_set
+    from kissmpc_tpu.ops.pallas.ipm_fused import solve_batch_fused
+    from kissmpc_tpu.solver.problem import problem_with_obstacles
+
+    cfg = _elastic(MPCConfig(horizon=10, time_step=0.1, max_obstacles=2))
+    # one feasible scenario, one start trapped inside an inflated disk
+    obs = static_set(
+        [[0.6, 0.0], [2.5, 2.5]], [0.3, 0.2], max_obstacles=2,
+        dtype=jnp.float32,
+    )
+    starts = ([0.0, -1.2, 0.0], [0.55, 0.05, 0.0])
+    goals = ([1.4, -1.0, 0.0], [1.6, 0.0, 0.0])
+    problems = jax.vmap(
+        lambda s, g: problem_with_obstacles(
+            cfg, jnp.asarray(s), jnp.asarray(g), obs,
+            inflation_radius=0.35, dtype=jnp.float32,
+        )
+    )(jnp.asarray(starts, jnp.float32), jnp.asarray(goals, jnp.float32))
+    sol_k = solve_batch_fused(cfg, problems, interpret=True, bt=2, sb=1)
+    sol_j = jax.vmap(lambda p: ipm.solve(cfg, p))(problems)
+    np.testing.assert_allclose(
+        np.asarray(sol_k.controls), np.asarray(sol_j.controls),
+        rtol=0, atol=2e-4,
+    )
+    assert bool(jnp.all(jnp.isfinite(sol_k.diagnostics.final_cost)))
+
+
+def test_fused_dispatch_accepts_elastic():
+    # The production backend accepts every public SolverConfig: elastic
+    # batches dispatch without error on the fused path (on CPU the jnp
+    # path runs; the kernel twin is covered by the interpret test above).
     from kissmpc_tpu.scenarios import free_problems
     from kissmpc_tpu.solver.api import solve_batch
 
     cfg = _elastic(MPCConfig(horizon=8, time_step=0.1))
     problems = free_problems(cfg, 2)
-    with pytest.raises(ValueError, match="elastic"):
-        solve_batch(cfg, problems)
-
-    # The split backend accepts the combination.
-    cfg_split = cfg.replace(
-        solver=dataclasses.replace(cfg.solver, solve_backend="split")
-    )
-    sol = solve_batch(cfg_split, problems)
+    sol = solve_batch(cfg, problems)
     assert bool(jnp.all(jnp.isfinite(sol.diagnostics.final_cost)))
