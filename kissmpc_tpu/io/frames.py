@@ -274,3 +274,60 @@ def replay_session(
         )
         outputs.append(obstacles)
     return state, outputs
+
+
+def record_synthetic_walk(
+    path: str,
+    *,
+    n_frames: int = 60,
+    dt: float = 0.1,
+    n_points: int = 128,
+    cluster: int = 40,
+    image_hw: Tuple[int, int] = (48, 64),
+    seed: int = 0,
+):
+    """Record a deterministic synthetic session: one human walking across
+    the sensor FOV (the test/bench stand-in for a rosbag of the reference's
+    `BagReader` sessions, `obstacle_handling/human_tracking.py:46-111`).
+
+    The human is a ``cluster``-point LiDAR blob at z = 2 m walking along y;
+    the image stream carries the matching instance mask (a box around the
+    blob's projection).  Returns the human's ground-truth [F, 2] map-frame
+    track for assertions.
+    """
+    from ..perception.pipeline import FrameGeometry
+    from ..perception.projection import SE3, Intrinsics
+
+    H, W = image_hw
+    intr = Intrinsics(
+        fx=np.float32(40.0), fy=np.float32(40.0),
+        cx=np.float32(W / 2), cy=np.float32(H / 2),
+    )
+    eye = SE3(rotation=np.eye(3, dtype=np.float32),
+              translation=np.zeros(3, np.float32))
+    geom = FrameGeometry(
+        intrinsics=intr, lidar_to_camera=eye, lidar_to_map=eye,
+        image_width=W, image_height=H,
+    )
+    rec = FrameRecorder(geom)
+    rng = np.random.default_rng(seed)
+    truth = np.zeros((n_frames, 2), np.float32)
+    for f in range(n_frames):
+        t = f * dt
+        hx = 0.3 + 0.0 * t
+        hy = -1.0 + 2.0 * (f / max(1, n_frames - 1))  # walk across
+        truth[f] = (hx, hy)
+        pts = np.zeros((n_points, 3), np.float32)
+        pts[:cluster, 0] = hx + rng.normal(0, 0.02, cluster)
+        pts[:cluster, 1] = hy + rng.normal(0, 0.02, cluster)
+        pts[:cluster, 2] = 2.0
+        mask = np.zeros(n_points, bool)
+        mask[:cluster] = True
+        rec.record_cloud(t, pts, mask)
+        u = int(W / 2 + 40.0 * hx / 2.0)
+        v = int(H / 2 + 40.0 * hy / 2.0)
+        inst = np.zeros((1, H, W), bool)
+        inst[0, max(0, v - 8): v + 8, max(0, u - 8): u + 8] = True
+        rec.record_image(t + 0.01, inst, np.array([True]))
+    rec.save(path)
+    return truth

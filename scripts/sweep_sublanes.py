@@ -45,7 +45,10 @@ def main():
         jax.block_until_ready(probs)
         ref_controls = None
         variants = [(128, 1, False), (256, 2, False), (512, 4, False),
-                    (256, 1, False)]
+                    (256, 1, False),
+                    # r5: bt=384/sb=3 compiles (r3 mosaic_repro) but was
+                    # never timed; 640/5 probes past it.
+                    (384, 3, False), (640, 5, False)]
         if k:
             variants += [(128, 1, True), (256, 2, True)]
         for bt, sb, affine in variants:

@@ -389,3 +389,70 @@ def test_render_annotated_images():
     annotated8, seg8 = render_annotated(img8, det)
     assert annotated8.dtype == np.uint8
     np.testing.assert_array_equal(seg8, seg)
+
+
+def test_replayed_frames_drive_fleet_tick_at_batch_scale():
+    # VERDICT r4 #7: a replayed frame stream (io/frames.py) drives B
+    # independent perception pipelines whose tracked humans feed the
+    # batched episode tick — the full sensor->tracks->ObstacleSet->solve
+    # path at batch scale.
+    import dataclasses
+
+    import jax
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu import environment as env_mod
+    from kissmpc_tpu.agent import AgentParams
+    from kissmpc_tpu.io.frames import FrameReplayer, record_synthetic_walk
+    from kissmpc_tpu.perception import pipeline as pipe
+    from kissmpc_tpu.perception import tracker as trk
+    from kissmpc_tpu.scenarios import episode_worlds
+
+    B = 4
+    path = "/tmp/kissmpc_test_walk.npz"
+    truth = record_synthetic_walk(path, n_frames=8, dt=0.1)
+    frames = list(FrameReplayer(path).synced())
+    geom = frames[0].geometry
+
+    cfg = MPCConfig(horizon=10, time_step=0.1, max_obstacles=4)
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, iterations=12))
+    params = AgentParams(complete_warm_starts=False)
+    env, static_obs = episode_worlds(cfg, B, n_waypoints=2, seed=0,
+                                     n_dynamic=0)
+    tcfg = trk.TrackerConfig()
+    pstate = jax.vmap(
+        lambda _: pipe.init_perception(capacity=2, dtype=jnp.float32)
+    )(jnp.arange(B))
+
+    def tick(env, pstate, frame):
+        def one(ps):
+            return pipe.step(tcfg, ps, geom, jnp.asarray(frame.points),
+                             jnp.asarray(frame.point_mask),
+                             jnp.asarray(frame.instance_masks),
+                             jnp.asarray(frame.instance_valid), dt=0.1)
+
+        pstate2, tracked = jax.vmap(lambda i: one(
+            jax.tree.map(lambda x: x[i], pstate)
+        ))(jnp.arange(B))
+        obstacles = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=1), static_obs,
+            tracked,
+        )
+        new_env, info = env_mod.fleet_step(cfg, params, env, obstacles)
+        return new_env, pstate2, tracked, info
+
+    n_active_last = 0
+    for frame in frames:
+        env, pstate, tracked, info = tick(env, pstate, frame)
+        n_active_last = float(jnp.sum(tracked.active))
+    # every episode tracks the walking human...
+    assert n_active_last == B, n_active_last
+    # ...near its ground-truth position
+    err = float(jnp.max(jnp.abs(
+        tracked.position[jnp.asarray(tracked.active) > 0]
+        - jnp.asarray(truth[len(frames) - 1])
+    )))
+    assert err < 0.25, err
+    # and the episodes keep solving with the tracker-fed obstacle set
+    assert float(jnp.mean(
+        info.diagnostics.converged.astype(jnp.float32))) > 0.7
