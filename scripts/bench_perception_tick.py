@@ -113,38 +113,43 @@ def main():
         ])
         return new_env, pstate, scal
 
+    # Interleaved measurement: the two variants alternate in 8-tick chunks
+    # so host/tunnel contention hits both equally (a sequential layout let
+    # a contended first pass read 3x slow — r5 log).
     results = {}
+    states = {}
     for name, fn in (("solver_only", tick_solver_only),
                      ("with_perception", tick_perception)):
         stepper = jax.jit(fn)
-        e, p = env, pstate0
         t0 = time.time()
-        e, p, scal = stepper(e, p, 0)
+        e, p, scal = stepper(env, pstate0, 0)
         _ = np.asarray(scal)
-        compile_s = time.time() - t0
-        lat = []
-        t_prev = time.perf_counter()
-        pending = None
-        for t in range(1, ticks):
-            e, p, scal = stepper(e, p, t % F)
-            try:
-                scal.copy_to_host_async()
-            except Exception:
-                pass
-            if pending is not None:
-                _ = np.asarray(pending)
+        states[name] = {
+            "step": stepper, "e": e, "p": p, "lat": [], "row": None,
+            "compile_s": round(time.time() - t0, 1),
+        }
+    CHUNK = 8
+    rounds = max(1, (ticks - 1) // CHUNK)
+    for r in range(rounds):
+        for name, st in states.items():
+            t_prev = time.perf_counter()
+            for j in range(CHUNK):
+                t = (r * CHUNK + j) % F
+                st["e"], st["p"], scal = st["step"](st["e"], st["p"], t)
+                _ = np.asarray(scal)
                 now = time.perf_counter()
-                lat.append(now - t_prev)
+                st["lat"].append(now - t_prev)
                 t_prev = now
-            pending = scal
-        row = np.asarray(pending)
-        lat = np.asarray(lat) * 1e3
+            st["row"] = np.asarray(scal)
+    for name, st in states.items():
+        lat = np.asarray(st["lat"]) * 1e3
+        row = st["row"]
         results[name] = {
             "tick_p50_ms": round(float(np.percentile(lat, 50)), 2),
             "tick_p99_ms": round(float(np.percentile(lat, 99)), 2),
             "converged": round(float(row[0]), 4),
             "tracked_total": float(row[2]),
-            "compile_s": round(compile_s, 1),
+            "compile_s": st["compile_s"],
         }
         print(f"{name}: {results[name]}", flush=True)
 

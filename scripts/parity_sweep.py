@@ -69,6 +69,11 @@ def sweep(name, cfg, problems, n):
                 obstacle_radii=np.asarray(problems.obstacle_radii[i])[mask],
                 inflation_radius=float(problems.inflation_radius[i]),
             )
+        # gtol 1e-8 (vs the handpicked tests' 1e-10): ~5 decades under the
+        # 1e-3 comparison threshold, and several times faster per solve on
+        # the bound-riding N=50 scenarios (measured: 1e-10 costs ~5 min
+        # per config-2 scenario, unusable at n=64).
+        kw.update(gtol=1e-8, xtol=1e-11, maxiter=1500)
         X, U, res = solve_oracle(**kw)
         if res.status not in (1, 2):
             oracle_fail += 1
