@@ -96,6 +96,48 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _cmd_lab(args) -> int:
+    """Batched episodes on a real occupancy map (config 3 at fleet scale)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import environment as env_mod
+    from .agent import AgentParams
+    from .config import MPCConfig
+    from .scenarios import lab_worlds
+
+    cfg = MPCConfig(horizon=args.horizon, time_step=args.dt,
+                    max_obstacles=8)
+    cfg = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, iterations=32,
+        refine_stages=((0.125, 64, 0.2), (0.02, 96, 0.7)),
+        mu_sigma_max=0.7, fused_affine_tracks=True,
+    ))
+    env, obstacles, winfo = lab_worlds(
+        cfg, args.batch, map_path=args.map, resolution=args.resolution,
+    )
+    params = AgentParams(
+        prediction_dt=cfg.time_step, complete_warm_starts=False,
+        stall_skip_ticks=50,
+        state_bounds=(-10.0, float(winfo["extent"].max()) + 10.0),
+    )
+    print(f"{winfo['n_circles']} circles, {args.batch} episodes, "
+          f"extent {winfo['extent'].round(1)} m")
+    step = jax.jit(lambda e: env_mod.fleet_step(cfg, params, e, obstacles))
+    for t in range(args.ticks):
+        env, info = step(env)
+        if t % 25 == 0 or t == args.ticks - 1:
+            done = float(jnp.mean(
+                info.final_goal_reached.astype(jnp.float32)))
+            conv = float(jnp.mean(
+                info.diagnostics.converged.astype(jnp.float32)))
+            print(f"tick {t:4d}  done={done:.3f}  converged={conv:.3f}",
+                  flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="kissmpc_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -118,6 +160,19 @@ def main(argv=None) -> int:
 
     bn = sub.add_parser("bench", help="batched solver throughput")
     bn.set_defaults(func=_cmd_bench)
+
+    lab = sub.add_parser(
+        "lab", help="fleet episodes on a real occupancy map"
+    )
+    lab.add_argument(
+        "--map", default="/root/reference/obstacle_handling/rrc_lab.pgm"
+    )
+    lab.add_argument("--resolution", type=float, default=0.05)
+    lab.add_argument("--batch", type=int, default=256)
+    lab.add_argument("--ticks", type=int, default=200)
+    lab.add_argument("--horizon", type=int, default=50)
+    lab.add_argument("--dt", type=float, default=0.041)
+    lab.set_defaults(func=_cmd_lab)
 
     args = parser.parse_args(argv)
     return args.func(args)

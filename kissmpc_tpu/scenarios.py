@@ -389,3 +389,121 @@ def free_problems(cfg, batch: int, *, seed: int = 0, dtype=None):
     return jax.vmap(lambda s, g: default_problem(cfg, s, g, dtype=dtype))(
         jnp.asarray(starts), jnp.asarray(goals)
     )
+
+
+def lab_worlds(
+    cfg,
+    batch: int,
+    *,
+    map_path: str = "/root/reference/obstacle_handling/rrc_lab.pgm",
+    resolution: float = 0.05,
+    seed: int = 0,
+    goal_range=(2.0, 4.5),
+    circles_per_episode: int = 24,
+    max_circles: int = 400,
+    inflation: float = DEFAULT_INFLATION,
+    points_per_leg: int = 3,
+    planner_grid: int = 96,
+    dtype=None,
+):
+    """Batched episode worlds on a real occupancy map (config 3 at fleet
+    scale — the reference's own operating envelope,
+    `mpc/environment.py:39-80` + `obstacle_handling/static_obstacle.py`).
+
+    Packs the map into circles, samples start/goal pairs in free space
+    (clearance > inflation + 0.25 m, goal distance in ``goal_range``),
+    routes each episode with the batched grid planner, and hands each
+    episode its ``circles_per_episode`` nearest circles — the per-tick
+    sensor top-K (`solver/problem.problem_with_obstacles`) selects the
+    solver's K from these, mirroring the reference's sensor-radius filter
+    (`mpc/environment.py:48-65`).
+
+    Returns ``(env: EnvState[B], obstacles: ObstacleSet[B, M],
+    info: dict)`` with ``info["extent"]`` the map extent in meters and
+    ``info["leg_reachable"]`` the router's per-leg connectivity.  NOTE:
+    map frames are large (rrc_lab spans ~76 x 41 m) — pass AgentParams
+    ``state_bounds`` that cover ``info["extent"]``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import environment as env_mod
+    from .obstacles.mapping import circles_to_world, pack_circles, read_pgm
+    from .obstacles.obstacles import ObstacleSet
+    from .planner import plan_waypoint_chain
+
+    if dtype is None:
+        dtype = jnp.float32
+    img = read_pgm(map_path)
+    centers_px, radii_px = pack_circles(
+        img, min_radius=3.0, max_circles=max_circles
+    )
+    centers, radii = circles_to_world(
+        centers_px, radii_px, resolution=resolution,
+        map_height_px=img.shape[0],
+    )
+    rng = np.random.default_rng(seed)
+    extent = np.array([img.shape[1], img.shape[0]]) * resolution
+
+    def clearances(P):
+        d = np.linalg.norm(
+            P[:, None, :] - centers[None], axis=-1
+        ) - radii
+        return d.min(axis=1)
+
+    pool = rng.uniform([0.5, 0.5], extent - 0.5, size=(120000, 2))
+    pool = pool[clearances(pool) > inflation + 0.25]
+    if len(pool) < 1000:
+        raise ValueError("free-space pool too small for this map")
+
+    starts_xy = np.zeros((batch, 2), np.float32)
+    goals_xy = np.zeros((batch, 2), np.float32)
+    n_done = 0
+    while n_done < batch:
+        s = pool[rng.integers(0, len(pool), batch)]
+        g = pool[rng.integers(0, len(pool), batch)]
+        d = np.linalg.norm(s - g, axis=1)
+        ok = (d > goal_range[0]) & (d < goal_range[1])
+        take = min(batch - n_done, int(ok.sum()))
+        starts_xy[n_done:n_done + take] = s[ok][:take]
+        goals_xy[n_done:n_done + take] = g[ok][:take]
+        n_done += take
+
+    starts = np.concatenate(
+        [starts_xy, rng.uniform(-np.pi, np.pi, (batch, 1))], axis=1
+    ).astype(np.float32)
+    goals = np.concatenate(
+        [goals_xy, rng.uniform(-np.pi, np.pi, (batch, 1))], axis=1
+    ).astype(np.float32)
+
+    M = circles_per_episode
+    mid = 0.5 * (starts_xy + goals_xy)
+    d_mid = np.linalg.norm(
+        mid[:, None, :] - centers[None], axis=-1
+    ) - radii
+    idx = np.argsort(d_mid, axis=1)[:, :M]
+    ep_centers = centers[idx].astype(np.float32)
+    ep_radii = radii[idx].astype(np.float32)
+
+    waypoints, leg_reach = plan_waypoint_chain(
+        starts, goals[:, None, :], ep_centers, ep_radii,
+        np.ones((batch, M), bool), inflation,
+        points_per_leg=points_per_leg, grid=planner_grid,
+    )
+    obstacles = ObstacleSet(
+        position=jnp.asarray(ep_centers, dtype),
+        radius=jnp.asarray(ep_radii, dtype),
+        orientation=jnp.zeros((batch, M), dtype),
+        linear_velocity=jnp.zeros((batch, M), dtype),
+        angular_velocity=jnp.zeros((batch, M), dtype),
+        active=jnp.ones((batch, M), dtype),
+    )
+    env = jax.vmap(
+        lambda s, w: env_mod.init_env(cfg, s, w, dtype=dtype)
+    )(jnp.asarray(starts, dtype), jnp.asarray(waypoints, dtype))
+    info = {
+        "extent": extent,
+        "leg_reachable": np.asarray(leg_reach),
+        "n_circles": int(len(radii)),
+    }
+    return env, obstacles, info

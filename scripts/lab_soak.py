@@ -46,104 +46,32 @@ def main():
     from kissmpc_tpu import MPCConfig
     from kissmpc_tpu import environment as env_mod
     from kissmpc_tpu.agent import AgentParams
-    from kissmpc_tpu.obstacles.mapping import (
-        circles_to_world, pack_circles, read_pgm,
-    )
-    from kissmpc_tpu.obstacles.obstacles import ObstacleSet
-    from kissmpc_tpu.planner import plan_waypoint_chain
+    from kissmpc_tpu.scenarios import lab_worlds
 
     print(f"device: {jax.devices()[0]}", flush=True)
-    t0 = time.time()
-    img = read_pgm(MAP)
-    centers_px, radii_px = pack_circles(img, min_radius=3.0, max_circles=400)
-    centers, radii = circles_to_world(
-        centers_px, radii_px, resolution=RESOLUTION,
-        map_height_px=img.shape[0],
-    )
-    print(f"map -> {len(radii)} circles in {time.time()-t0:.1f}s", flush=True)
-
     cfg = MPCConfig(horizon=50, time_step=0.041, max_obstacles=8)
     cfg = cfg.replace(solver=dataclasses.replace(
         cfg.solver, iterations=32,
         refine_stages=((0.125, 64, 0.2), (0.02, 96, 0.7)),
         mu_sigma_max=0.7, fused_affine_tracks=True,
     ))
+    t0 = time.time()
+    env, obstacles, winfo = lab_worlds(
+        cfg, batch, map_path=MAP, resolution=RESOLUTION,
+        circles_per_episode=M_PER_EP, seed=0,
+    )
+    reach_frac = float(winfo["leg_reachable"].mean())
+    print(f"{winfo['n_circles']} circles; worlds in {time.time()-t0:.1f}s; "
+          f"leg_reachable {reach_frac:.4f}", flush=True)
     params = AgentParams(
         prediction_dt=cfg.time_step, complete_warm_starts=False,
         stall_skip_ticks=50,
         # Lab world frame spans ~[0, 76] x [0, 41] m — the research-default
         # +-20 m box (`mpc/agent.py:105`) would make every pose outside it
         # box-infeasible.
-        state_bounds=(-10.0, 90.0),
+        state_bounds=(-10.0, float(winfo["extent"].max()) + 10.0),
     )
     ROBOT_R = params.radius
-    INFL = ROBOT_R + params.inflation_margin
-
-    # --- sample feasible start/goal pairs in free space ------------------
-    rng = np.random.default_rng(0)
-    extent = np.array([img.shape[1], img.shape[0]]) * RESOLUTION
-
-    def clearances(P):  # [n, 2] -> [n] min uninflated clearance
-        d = np.linalg.norm(P[:, None, :] - centers[None], axis=-1) - radii
-        return d.min(axis=1)
-
-    pool = rng.uniform([0.5, 0.5], extent - 0.5, size=(120000, 2))
-    pool = pool[clearances(pool) > INFL + 0.25]
-    print(f"free-space pool: {len(pool)} points", flush=True)
-    # episodes sample start/goal WITH replacement from the pool, so a few
-    # thousand distinct free points suffice for any batch size
-    assert len(pool) >= 1000, "free-space pool too small"
-
-    starts_xy = np.zeros((batch, 2), np.float32)
-    goals_xy = np.zeros((batch, 2), np.float32)
-    n_done = 0
-    while n_done < batch:
-        s = pool[rng.integers(0, len(pool), batch)]
-        g = pool[rng.integers(0, len(pool), batch)]
-        d = np.linalg.norm(s - g, axis=1)
-        ok = (d > 2.0) & (d < 4.5)
-        take = min(batch - n_done, ok.sum())
-        starts_xy[n_done:n_done + take] = s[ok][:take]
-        goals_xy[n_done:n_done + take] = g[ok][:take]
-        n_done += take
-
-    th0 = rng.uniform(-np.pi, np.pi, batch).astype(np.float32)
-    starts = np.concatenate([starts_xy, th0[:, None]], axis=1)
-    goals = np.concatenate(
-        [goals_xy, rng.uniform(-np.pi, np.pi, (batch, 1))], axis=1
-    ).astype(np.float32)
-
-    # --- per-episode M nearest circles (to the leg midpoint) -------------
-    mid = 0.5 * (starts_xy + goals_xy)
-    d_mid = np.linalg.norm(
-        mid[:, None, :] - centers[None], axis=-1
-    ) - radii  # [B, n_circ]
-    idx = np.argsort(d_mid, axis=1)[:, :M_PER_EP]  # [B, M]
-    ep_centers = centers[idx].astype(np.float32)  # [B, M, 2]
-    ep_radii = radii[idx].astype(np.float32)
-
-    # --- grid-planner routes over the per-episode circles -----------------
-    t0 = time.time()
-    waypoints, reach = plan_waypoint_chain(
-        starts, goals[:, None, :], ep_centers, ep_radii,
-        np.ones((batch, M_PER_EP), bool), INFL,
-        points_per_leg=3, grid=96,
-    )
-    reach_frac = float(np.asarray(reach).mean())
-    print(f"planned routes in {time.time()-t0:.1f}s; "
-          f"leg_reachable {reach_frac:.4f}", flush=True)
-
-    obstacles = ObstacleSet(
-        position=jnp.asarray(ep_centers),
-        radius=jnp.asarray(ep_radii),
-        orientation=jnp.zeros((batch, M_PER_EP), jnp.float32),
-        linear_velocity=jnp.zeros((batch, M_PER_EP), jnp.float32),
-        angular_velocity=jnp.zeros((batch, M_PER_EP), jnp.float32),
-        active=jnp.ones((batch, M_PER_EP), jnp.float32),
-    )
-    env = jax.vmap(
-        lambda s, w: env_mod.init_env(cfg, s, w, dtype=jnp.float32)
-    )(jnp.asarray(starts, jnp.float32), jnp.asarray(waypoints, jnp.float32))
 
     from kissmpc_tpu.obstacles.obstacles import clearance_to_point
 
@@ -198,7 +126,7 @@ def main():
     out = {
         "batch": batch,
         "ticks": ticks,
-        "n_circles": int(len(radii)),
+        "n_circles": winfo["n_circles"],
         "leg_reachable_frac": round(reach_frac, 4),
         "goal_rate": round(float(rows[-1][1]), 4),
         "goal_rate_curve": [round(float(rows[i][1]), 4)

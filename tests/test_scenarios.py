@@ -198,3 +198,48 @@ def test_production_schedule_stall_rate_bound():
     sol = make_batch_solver(cfg)(probs)
     conv = float(jnp.mean(sol.diagnostics.converged.astype(jnp.float32)))
     assert conv >= 0.99, f"stall-rate regression: converged {conv:.4f}"
+
+
+def test_lab_worlds_generator():
+    # scenarios.lab_worlds: the reference's own lab map at fleet scale
+    # (config 3).  Feasible starts/goals, planner-routed chains, per-episode
+    # nearest circles, and a few episode ticks that keep solving.
+    import dataclasses
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu import environment as env_mod
+    from kissmpc_tpu.agent import AgentParams
+    from kissmpc_tpu.scenarios import lab_worlds
+
+    map_path = "/root/reference/obstacle_handling/rrc_lab.pgm"
+    if not os.path.exists(map_path):
+        import pytest
+
+        pytest.skip("reference lab map not available")
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=4)
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, iterations=16))
+    env, obstacles, winfo = lab_worlds(
+        cfg, 6, circles_per_episode=12, max_circles=200, seed=0,
+    )
+    assert obstacles.position.shape == (6, 12, 2)
+    assert winfo["leg_reachable"].all()
+    # every start clears its own circle set by the inflated margin
+    start = np.asarray(env.agent.states_matrix[:, 0, :2])
+    d = np.linalg.norm(
+        start[:, None, :] - np.asarray(obstacles.position), axis=-1
+    ) - np.asarray(obstacles.radius)
+    assert d.min() > 0.4, d.min()
+    params = AgentParams(
+        complete_warm_starts=False,
+        state_bounds=(-10.0, float(winfo["extent"].max()) + 10.0),
+    )
+    step = jax.jit(lambda e: env_mod.fleet_step(cfg, params, e, obstacles))
+    for _ in range(3):
+        env, info = step(env)
+    assert float(jnp.mean(
+        info.diagnostics.converged.astype(jnp.float32))) > 0.8
