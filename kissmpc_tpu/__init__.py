@@ -11,7 +11,7 @@ See SURVEY.md at the repo root for the structural map of the reference and
 file:line parity citations throughout this package.
 """
 
-from . import agent, environment
+from . import agent, environment, scenarios
 from .agent import AgentParams, AgentState
 from .config import CostConfig, MPCConfig, SolverConfig
 from .environment import EnvState
@@ -42,4 +42,5 @@ __all__ = [
     "complete_warm_start",
     "make_solver",
     "make_batch_solver",
+    "scenarios",
 ]
