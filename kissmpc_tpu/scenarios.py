@@ -404,6 +404,7 @@ def lab_worlds(
     inflation: float = DEFAULT_INFLATION,
     points_per_leg: int = 3,
     planner_grid: int = 96,
+    n_dynamic: int = 0,
     dtype=None,
 ):
     """Batched episode worlds on a real occupancy map (config 3 at fleet
@@ -418,7 +419,15 @@ def lab_worlds(
     solver's K from these, mirroring the reference's sensor-radius filter
     (`mpc/environment.py:48-65`).
 
-    Returns ``(env: EnvState[B], obstacles: ObstacleSet[B, M],
+    ``n_dynamic`` adds that many walking humans per episode (r = 0.3, the
+    reference's human radius, constant velocity 0.3-1.0 m/s near the
+    route — `obstacle_handling/dynamic_obstacle.py:8-9`), appended after
+    the M static circles; humans whose straight-line track would sweep
+    the pinned start are redirected radially away (the
+    `sample_obstacle_field` feasibility guard).  Advance them in the
+    world with `obstacles.advance` each tick.
+
+    Returns ``(env: EnvState[B], obstacles: ObstacleSet[B, M+n_dynamic],
     info: dict)`` with ``info["extent"]`` the map extent in meters and
     ``info["leg_reachable"]`` the router's per-leg connectivity.  NOTE:
     map frames are large (rrc_lab spans ~76 x 41 m) — pass AgentParams
@@ -490,13 +499,56 @@ def lab_worlds(
         np.ones((batch, M), bool), inflation,
         points_per_leg=points_per_leg, grid=planner_grid,
     )
+    all_centers = ep_centers
+    all_radii = ep_radii
+    orientation = np.zeros((batch, M), np.float32)
+    lin_v = np.zeros((batch, M), np.float32)
+    if n_dynamic > 0:
+        D = n_dynamic
+        HUMAN_R = 0.3  # `obstacle_handling/dynamic_obstacle.py:9`
+        frac = rng.uniform(0.3, 0.7, (batch, D)).astype(np.float32)
+        seg = goals_xy - starts_xy
+        lat = rng.uniform(0.5, 1.5, (batch, D)).astype(np.float32)
+        lat *= rng.choice([-1.0, 1.0], (batch, D)).astype(np.float32)
+        perp = np.stack([-seg[:, 1], seg[:, 0]], axis=1)
+        perp /= np.maximum(np.linalg.norm(perp, axis=1, keepdims=True), 1e-6)
+        h_pos = (
+            starts_xy[:, None, :]
+            + frac[..., None] * seg[:, None, :]
+            + lat[..., None] * perp[:, None, :]
+        ).astype(np.float32)
+        # push clear of goal then start (start last: the pinned initial
+        # state inside an inflated human is infeasible by construction)
+        need = HUMAN_R + inflation + 0.12
+        for p in (goals_xy, starts_xy):
+            d = h_pos - p[:, None, :]
+            dist = np.maximum(np.linalg.norm(d, axis=-1), 1e-6)
+            push = np.maximum(need - dist, 0.0)
+            h_pos = h_pos + d / dist[..., None] * push[..., None]
+        h_ori = rng.uniform(-np.pi, np.pi, (batch, D)).astype(np.float32)
+        h_v = rng.uniform(0.3, 1.0, (batch, D)).astype(np.float32)
+        # redirect tracks that would sweep the pinned start
+        rel = h_pos - starts_xy[:, None, :]
+        u = np.stack([np.cos(h_ori), np.sin(h_ori)], axis=-1)
+        t_star = np.clip(-np.sum(rel * u, axis=-1), 0.0, None)
+        closest = np.linalg.norm(rel + t_star[..., None] * u, axis=-1)
+        sweep = closest < need
+        away = np.arctan2(rel[..., 1], rel[..., 0]).astype(np.float32)
+        h_ori = np.where(sweep, away, h_ori)
+        all_centers = np.concatenate([ep_centers, h_pos], axis=1)
+        all_radii = np.concatenate(
+            [ep_radii, np.full((batch, D), HUMAN_R, np.float32)], axis=1
+        )
+        orientation = np.concatenate([orientation, h_ori], axis=1)
+        lin_v = np.concatenate([lin_v, h_v], axis=1)
+    MT = M + n_dynamic
     obstacles = ObstacleSet(
-        position=jnp.asarray(ep_centers, dtype),
-        radius=jnp.asarray(ep_radii, dtype),
-        orientation=jnp.zeros((batch, M), dtype),
-        linear_velocity=jnp.zeros((batch, M), dtype),
-        angular_velocity=jnp.zeros((batch, M), dtype),
-        active=jnp.ones((batch, M), dtype),
+        position=jnp.asarray(all_centers, dtype),
+        radius=jnp.asarray(all_radii, dtype),
+        orientation=jnp.asarray(orientation, dtype),
+        linear_velocity=jnp.asarray(lin_v, dtype),
+        angular_velocity=jnp.zeros((batch, MT), dtype),
+        active=jnp.ones((batch, MT), dtype),
     )
     env = jax.vmap(
         lambda s, w: env_mod.init_env(cfg, s, w, dtype=dtype)

@@ -34,6 +34,10 @@ M_PER_EP = 24  # circles carried per episode (sensor top-K selects from these)
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    n_dynamic = 0
+    for a in sys.argv[3:]:
+        if a.startswith("dyn="):
+            n_dynamic = int(a[4:])
     import jax
 
     if "cpu" in sys.argv[3:]:
@@ -58,7 +62,7 @@ def main():
     t0 = time.time()
     env, obstacles, winfo = lab_worlds(
         cfg, batch, map_path=MAP, resolution=RESOLUTION,
-        circles_per_episode=M_PER_EP, seed=0,
+        circles_per_episode=M_PER_EP, seed=0, n_dynamic=n_dynamic,
     )
     reach_frac = float(winfo["leg_reachable"].mean())
     print(f"{winfo['n_circles']} circles; worlds in {time.time()-t0:.1f}s; "
@@ -73,22 +77,28 @@ def main():
     )
     ROBOT_R = params.radius
 
-    from kissmpc_tpu.obstacles.obstacles import clearance_to_point
+    from kissmpc_tpu.obstacles.obstacles import advance, clearance_to_point
 
-    def tick(env):
-        new_env, info = env_mod.fleet_step(cfg, params, env, obstacles)
+    def tick(env, obs):
+        new_env, info = env_mod.fleet_step(cfg, params, env, obs)
+        # humans move in the WORLD between solves (the reference's humans
+        # walk; a frozen world cannot measure closed-loop clearance)
+        new_obs = (
+            jax.vmap(lambda o: advance(o, cfg.time_step))(obs)
+            if n_dynamic else obs
+        )
         pos = new_env.agent.states_matrix[:, 1, :2]
-        clr = jax.vmap(clearance_to_point)(obstacles, pos) - ROBOT_R
+        clr = jax.vmap(clearance_to_point)(new_obs, pos) - ROBOT_R
         scal = jnp.stack([
             jnp.mean(info.diagnostics.converged.astype(jnp.float32)),
             jnp.mean(info.final_goal_reached.astype(jnp.float32)),
             jnp.min(clr),
         ])
-        return new_env, scal, clr
+        return new_env, new_obs, scal, clr
 
     stepper = jax.jit(tick)
     t0 = time.time()
-    env, scal, clr = stepper(env)
+    env, obstacles, scal, clr = stepper(env, obstacles)
     _ = np.asarray(scal)
     print(f"compile+first tick {time.time()-t0:.1f}s", flush=True)
 
@@ -96,7 +106,7 @@ def main():
     pending = None
     t_prev = time.perf_counter()
     for t in range(ticks):
-        env, scal, clr = stepper(env)
+        env, obstacles, scal, clr = stepper(env, obstacles)
         for a in (scal, clr):
             try:
                 a.copy_to_host_async()
@@ -126,6 +136,7 @@ def main():
     out = {
         "batch": batch,
         "ticks": ticks,
+        "n_dynamic": n_dynamic,
         "n_circles": winfo["n_circles"],
         "leg_reachable_frac": round(reach_frac, 4),
         "goal_rate": round(float(rows[-1][1]), 4),

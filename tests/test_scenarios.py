@@ -243,3 +243,55 @@ def test_lab_worlds_generator():
         env, info = step(env)
     assert float(jnp.mean(
         info.diagnostics.converged.astype(jnp.float32))) > 0.8
+
+
+def test_lab_worlds_with_dynamic_humans():
+    # config 4 at lab scale: lab circles + walking humans near the route;
+    # humans never cover the pinned start, and episodes keep solving while
+    # the world advances.
+    import dataclasses
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kissmpc_tpu import MPCConfig
+    from kissmpc_tpu import environment as env_mod
+    from kissmpc_tpu.agent import AgentParams
+    from kissmpc_tpu.obstacles.obstacles import advance
+    from kissmpc_tpu.scenarios import lab_worlds
+
+    map_path = "/root/reference/obstacle_handling/rrc_lab.pgm"
+    if not os.path.exists(map_path):
+        import pytest
+
+        pytest.skip("reference lab map not available")
+    cfg = MPCConfig(horizon=12, time_step=0.1, max_obstacles=4)
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, iterations=16))
+    env, obstacles, winfo = lab_worlds(
+        cfg, 6, circles_per_episode=10, max_circles=200, seed=1,
+        n_dynamic=2,
+    )
+    assert obstacles.position.shape == (6, 12, 2)
+    assert bool(jnp.all(obstacles.linear_velocity[:, -2:] > 0.0))
+    assert bool(jnp.all(obstacles.radius[:, -2:] == 0.3))
+    # humans clear the pinned start by the inflated margin
+    start = np.asarray(env.agent.states_matrix[:, 0, :2])
+    h = np.asarray(obstacles.position[:, -2:])
+    d = np.linalg.norm(h - start[:, None, :], axis=-1)
+    assert d.min() > 0.3 + 0.4, d.min()
+    params = AgentParams(
+        complete_warm_starts=False, prediction_dt=cfg.time_step,
+        state_bounds=(-10.0, float(winfo["extent"].max()) + 10.0),
+    )
+
+    def tick(e, o):
+        e2, info = env_mod.fleet_step(cfg, params, e, o)
+        return e2, jax.vmap(lambda x: advance(x, cfg.time_step))(o), info
+
+    step = jax.jit(tick)
+    for _ in range(3):
+        env, obstacles, info = step(env, obstacles)
+    assert float(jnp.mean(
+        info.diagnostics.converged.astype(jnp.float32))) > 0.8
