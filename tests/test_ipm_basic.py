@@ -186,3 +186,35 @@ def test_mehrotra_pc_matches_baseline_solution():
     )
     with pytest.raises(ValueError, match="elastic"):
         make_solver(cfg_bad)(problem)
+
+
+def test_mehrotra_pc_obstacle_family_corrector():
+    # The _Corr terms feed the obstacle family too; pin pc-vs-baseline
+    # agreement on a constrained problem (f64, active obstacle).
+    import dataclasses
+
+    from kissmpc_tpu import problem_with_obstacles
+    from kissmpc_tpu.obstacles import static_set
+
+    cfg = MPCConfig(horizon=20, time_step=0.1, max_obstacles=2)
+    cfg_pc = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, mehrotra="pc")
+    )
+    obs = static_set(
+        [[0.8, 0.05], [2.5, 2.5]], [0.25, 0.3], max_obstacles=2,
+        dtype=jnp.float64,
+    )
+    problem = problem_with_obstacles(
+        cfg, jnp.array([0.0, 0.0, 0.0]), jnp.array([1.6, 0.1, 0.0]), obs,
+        inflation_radius=0.4, dtype=jnp.float64,
+    )
+    base = make_solver(cfg)(problem)
+    pc = make_solver(cfg_pc)(problem)
+    assert bool(base.diagnostics.converged)
+    assert bool(pc.diagnostics.converged)
+    err = float(jnp.max(jnp.abs(pc.controls - base.controls)))
+    assert err <= 1e-4, err
+    # both clear the active obstacle by the margin
+    p = np.asarray(pc.states[1:, :2])
+    d = np.linalg.norm(p - np.array([0.8, 0.05]), axis=1) - 0.25
+    assert float(d.min()) >= 0.4 - 1e-6
